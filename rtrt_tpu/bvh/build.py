@@ -1,0 +1,236 @@
+"""Per-frame two-level LBVH construction, atomic-free and fully vectorized.
+
+TPU-native counterpart of the reference's BLAS/TLAS rebuild chain
+(reference: src/updateGeometry.cuh:65-364 geometry+morton,
+src/radixSort.cuh:21-246 per-batch sort, src/buildBVH.cuh:18-271 Karras
+build + atomicCAS bottom-up AABB fit, orchestrated by src/bvh.cu:7-97).
+
+Re-architecture for XLA:
+  * the 1024-triangle batch contract is kept (it makes every shape static);
+    batches are a leading array axis and every stage is vmapped over it.
+  * radix sort        -> jax.lax.sort (vectorized merge network, no ballots)
+  * Karras topology   -> the same binary searches, but as fixed-trip-count
+    masked loops vectorized over all internal nodes at once
+  * AABB fit          -> NO atomics: every internal node covers a contiguous
+    sorted-leaf range (Karras invariant), so node boxes are two O(1) lookups
+    in a doubling sparse table (ops/reduce.py) — O(N log N), data-parallel
+  * TLAS leaves are pre-resolved to BLAS roots at pack time, so traversal
+    needs no TLAS-leaf branch (see types.py).
+
+The builder is jit-compatible end-to-end and runs inside the per-frame
+program for animated geometry.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.geometry import triangle_aabb
+from ..ops.morton import morton3d_30, normalize_to_aabb
+from ..ops.reduce import build_minmax_table, range_minmax
+from ..ops.sort import sort_key_index
+from .types import (BATCH_SIZE, BLAS_NODES, SceneBvh, pack_entry)
+
+UINT_MAX = jnp.uint32(0xFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# Karras 2012 topology (vectorized over internal nodes; vmap over batches)
+# ---------------------------------------------------------------------------
+
+
+def _clz32(x):
+    return jax.lax.clz(x.astype(jnp.int32) if x.dtype != jnp.int32 else x)
+
+
+def lbvh_topology(codes):
+    """Compute LBVH topology for N sorted morton codes (N static, >= 2).
+
+    Returns (left, right, first, last): each (N-1,) int32 where left/right use
+    the convention `child >= 0` = internal node index, `child < 0` = leaf
+    index encoded as ~child; first/last = inclusive sorted-leaf range of the
+    internal node.  Duplicate codes are handled by the standard index-XOR
+    tiebreak (equivalent to appending the leaf index to the key).
+    """
+    n = codes.shape[0]
+    codes = codes.astype(jnp.uint32)
+    log2n = max(1, (n - 1).bit_length())
+    i = jnp.arange(n - 1, dtype=jnp.int32)
+
+    def delta(a, b):
+        """LCP length between leaf a and leaf b; -1 when b out of range."""
+        valid = (b >= 0) & (b < n)
+        bc = jnp.clip(b, 0, n - 1)
+        ca = codes[a]
+        cb = codes[bc]
+        x = (ca ^ cb).astype(jnp.int32)
+        d = jnp.where(x != 0, _clz32(x), 32 + _clz32((a ^ bc) | 1))
+        return jnp.where(valid, d, -1)
+
+    # direction: toward the longer common prefix
+    d = jnp.where(delta(i, i + 1) >= delta(i, i - 1), 1, -1).astype(jnp.int32)
+    delta_min = delta(i, i - d)
+
+    # exponential search for an upper bound on the range length
+    # (fori_loop keeps the traced graph small — compile-time matters here)
+    def grow_body(_, lmax):
+        grow = delta(i, i + lmax * d) > delta_min
+        return jnp.where(grow, lmax * 2, lmax)
+
+    lmax = jax.lax.fori_loop(0, log2n + 2, grow_body, jnp.full_like(i, 2))
+
+    # binary search the exact length l
+    def len_body(k, l):
+        t = lmax >> k
+        cond = (t >= 1) & (delta(i, i + (l + t) * d) > delta_min)
+        return jnp.where(cond, l + t, l)
+
+    l = jax.lax.fori_loop(1, log2n + 3, len_body, jnp.zeros_like(i))
+    j = i + l * d
+
+    # binary search the split position (do-while t>1 from the paper,
+    # fixed-trip masked form)
+    delta_node = delta(i, j)
+
+    def split_body(_, carry):
+        s, t, done = carry
+        t = (t + 1) >> 1
+        cond = (~done) & (delta(i, i + (s + t) * d) > delta_node)
+        s = jnp.where(cond, s + t, s)
+        done = done | (t <= 1)
+        return s, jnp.maximum(t, 1), done
+
+    s, _, _ = jax.lax.fori_loop(
+        0, log2n + 2, split_body,
+        (jnp.zeros_like(i), l, jnp.zeros_like(i, dtype=bool)))
+
+    gamma = i + s * d + jnp.minimum(d, 0)
+    first = jnp.minimum(i, j)
+    last = jnp.maximum(i, j)
+    left = jnp.where(first == gamma, ~gamma, gamma)
+    right = jnp.where(last == gamma + 1, ~(gamma + 1), gamma + 1)
+    return left, right, first, last
+
+
+def fit_node_boxes(left, right, first, last, gamma, leaf_lo, leaf_hi):
+    """Compute each internal node's packed child-AABB-pair row.
+
+    left child covers sorted leaves [first, gamma], right covers
+    [gamma+1, last]; both are O(1) sparse-table range queries.
+    Returns boxes (N-1, 12) f32.
+    """
+    lo_t, hi_t = build_minmax_table(leaf_lo, leaf_hi)
+    llo, lhi = range_minmax(lo_t, hi_t, first, gamma)
+    rlo, rhi = range_minmax(lo_t, hi_t, gamma + 1, last)
+    return jnp.concatenate([llo, lhi, rlo, rhi], axis=-1)
+
+
+def _gamma_from_children(left, right):
+    """Recover the split leaf index from the child encoding."""
+    return jnp.where(left < 0, ~left, left)
+
+
+# ---------------------------------------------------------------------------
+# full scene build
+# ---------------------------------------------------------------------------
+
+
+def build_scene_bvh(v0, v1, v2, valid) -> SceneBvh:
+    """Build the full two-level BVH.
+
+    Args:
+      v0, v1, v2: (B, 1024, 3) f32 triangle vertices (padded slots arbitrary).
+      valid: (B, 1024) bool — False for padding triangles.
+    Returns:
+      SceneBvh with triangles permuted into sorted leaf order.
+
+    B must be >= 2 (pad with an empty batch if needed).
+    """
+    b = v0.shape[0]
+    assert v0.shape[1] == BATCH_SIZE and b >= 2, (v0.shape, b)
+
+    # --- per-triangle AABBs; padding is an empty box (never hit) ------------
+    lo, hi = triangle_aabb(v0, v1, v2)
+    lo = jnp.where(valid[..., None], lo, jnp.inf)
+    hi = jnp.where(valid[..., None], hi, -jnp.inf)
+
+    # --- batch AABBs + morton codes ----------------------------------------
+    batch_lo = jnp.min(lo, axis=1)  # (B,3)
+    batch_hi = jnp.max(hi, axis=1)
+    centers = 0.5 * (lo + hi)
+    unit = normalize_to_aabb(centers, batch_lo[:, None, :], batch_hi[:, None, :])
+    codes = morton3d_30(jnp.where(valid[..., None], unit, 0.0))
+    codes = jnp.where(valid, codes, UINT_MAX)  # padding sorts to the end
+
+    # --- per-batch sort (reorder = sorted slot -> original in-batch index) --
+    sorted_codes, reorder = sort_key_index(codes)
+
+    def permute(x):
+        return jnp.take_along_axis(x, reorder[..., None], axis=1)
+
+    s_lo, s_hi = permute(lo), permute(hi)
+    s_v0, s_v1, s_v2 = permute(v0), permute(v1), permute(v2)
+
+    # --- BLAS topology + AABB fit (vmapped over batches) --------------------
+    left, right, first, last = jax.vmap(lbvh_topology)(sorted_codes)
+    gamma = _gamma_from_children(left, right)
+    blas_boxes = jax.vmap(fit_node_boxes)(left, right, first, last, gamma,
+                                          s_lo, s_hi)  # (B, 1023, 12)
+
+    # --- pack BLAS children as stack entries --------------------------------
+    batch_ids = jnp.arange(b, dtype=jnp.int32)[:, None]
+
+    def pack_blas(child):
+        is_leaf = child < 0
+        idx = jnp.where(is_leaf, ~child, child)
+        return pack_entry(idx, batch_ids, True, is_leaf)
+
+    blas_children = jnp.stack([pack_blas(left), pack_blas(right)], axis=-1)
+
+    # --- TLAS over batch root AABBs -----------------------------------------
+    valid_batch = jnp.any(valid, axis=1)
+    t_lo = jnp.where(valid_batch[:, None], batch_lo, jnp.inf)
+    t_hi = jnp.where(valid_batch[:, None], batch_hi, -jnp.inf)
+    root_lo = jnp.min(t_lo, axis=0)
+    root_hi = jnp.max(t_hi, axis=0)
+    t_centers = normalize_to_aabb(0.5 * (t_lo + t_hi), root_lo, root_hi)
+    t_codes = jnp.where(valid_batch, morton3d_30(t_centers), UINT_MAX)
+    t_sorted, t_reorder = sort_key_index(t_codes)  # (B,)
+    ts_lo = t_lo[t_reorder]
+    ts_hi = t_hi[t_reorder]
+
+    t_left, t_right, t_first, t_last = lbvh_topology(t_sorted)
+    t_gamma = _gamma_from_children(t_left, t_right)
+    tlas_boxes = fit_node_boxes(t_left, t_right, t_first, t_last, t_gamma,
+                                ts_lo, ts_hi)  # (B-1, 12)
+
+    # TLAS child packing: leaves resolve directly to their batch's BLAS root
+    def pack_tlas(child):
+        is_leaf = child < 0
+        leaf = jnp.where(is_leaf, ~child, 0)
+        leaf_batch = t_reorder[leaf]
+        # leaf -> BLAS root (internal node 0 of that batch)
+        leaf_entry = pack_entry(jnp.zeros_like(child), leaf_batch, True, False)
+        node_entry = pack_entry(jnp.maximum(child, 0), 0, False, False)
+        return jnp.where(is_leaf, leaf_entry, node_entry)
+
+    tlas_children = jnp.stack([pack_tlas(t_left), pack_tlas(t_right)], axis=-1)
+
+    # --- flatten: TLAS rows first, then all BLAS rows -----------------------
+    flat_boxes = jnp.concatenate(
+        [tlas_boxes, blas_boxes.reshape(b * BLAS_NODES, 12)], axis=0)
+    flat_children = jnp.concatenate(
+        [tlas_children, blas_children.reshape(b * BLAS_NODES, 2)], axis=0)
+
+    sorted_tri_index = (batch_ids * BATCH_SIZE + reorder).reshape(-1)
+    return SceneBvh(
+        flat_boxes=flat_boxes,
+        flat_children=flat_children,
+        tri_v0=s_v0.reshape(-1, 3),
+        tri_v1=s_v1.reshape(-1, 3),
+        tri_v2=s_v2.reshape(-1, 3),
+        sorted_tri_index=sorted_tri_index,
+        root_lo=root_lo,
+        root_hi=root_hi,
+    )

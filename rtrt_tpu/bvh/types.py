@@ -1,0 +1,95 @@
+"""BVH data layout and stack-entry encoding.
+
+TPU-native counterpart of the reference's 64-byte BVHNode + bit-packed
+traversal stack entries (reference: src/bvhNode.cuh:5-13, src/traverse.h:9-86).
+
+Layout decisions (all static-shape, SoA):
+  * One node row = the two child AABBs packed as 12 floats
+    [Llo, Lhi, Rlo, Rhi] — one gather fetches both boxes (the reference's
+    AABBCompact pair-test amortization).
+  * TLAS and all BLAS node arrays are concatenated into ONE flat array so the
+    traversal loop issues a single gather regardless of level:
+        flat index = idx                      (TLAS internal node)
+                   = TLAS_N + batch*1023+idx  (BLAS internal node)
+  * Child slots store *pre-packed stack entries* (see below), so TLAS leaves
+    are resolved to their batch's BLAS root at build time and the hot loop
+    never branches on "TLAS leaf".
+
+Stack entry packing (int32):
+    bits  0..10  node index within its level (<= 1023) or BLAS leaf index
+    bits 11..21  batch index (<= 1023)
+    bit  22      is_blas
+    bit  23      is_leaf  (BLAS leaf -> triangle test)
+    -1           invalid / empty slot
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+BATCH_SIZE = 1024          # triangles per BLAS batch (reference: src/kernel.cuh:579)
+BLAS_NODES = BATCH_SIZE - 1
+MAX_BATCHES = 1024         # reference: src/init.cu:126
+STACK_DEPTH = 16           # reference: src/traverse.h:26
+MAX_TRAVERSAL_STEPS = 1024  # reference: src/traverse.h:132
+
+ENTRY_INVALID = jnp.int32(-1)
+
+_IDX_BITS = 11
+_BATCH_SHIFT = 11
+_BLAS_BIT = jnp.int32(1 << 22)
+_LEAF_BIT = jnp.int32(1 << 23)
+_IDX_MASK = jnp.int32((1 << _IDX_BITS) - 1)
+_BATCH_MASK = jnp.int32((1 << 11) - 1)
+
+
+def pack_entry(idx, batch, is_blas, is_leaf):
+    idx = idx.astype(jnp.int32) if hasattr(idx, "astype") else jnp.int32(idx)
+    e = (idx & _IDX_MASK) | ((jnp.int32(batch) & _BATCH_MASK) << _BATCH_SHIFT)
+    e = e | jnp.where(is_blas, _BLAS_BIT, 0) | jnp.where(is_leaf, _LEAF_BIT, 0)
+    return e
+
+
+def entry_idx(e):
+    return e & _IDX_MASK
+
+
+def entry_batch(e):
+    return (e >> _BATCH_SHIFT) & _BATCH_MASK
+
+
+def entry_is_blas(e):
+    return (e & _BLAS_BIT) != 0
+
+
+def entry_is_leaf(e):
+    return (e & _LEAF_BIT) != 0
+
+
+class SceneBvh(NamedTuple):
+    """Complete two-level BVH over a batched triangle soup.
+
+    Triangle arrays are in *sorted leaf order* (the builder permutes them so a
+    BLAS leaf maps directly to tri = batch*1024 + leaf_idx with no reorder
+    indirection).  Shape-derived statics: B = tri_v0.shape[0] // 1024;
+    TLAS internal count = flat_boxes.shape[0] - B*1023.
+    """
+
+    flat_boxes: jnp.ndarray      # (tlas_internal + B*1023, 12) f32
+    flat_children: jnp.ndarray   # (tlas_internal + B*1023, 2) i32 packed entries
+    tri_v0: jnp.ndarray          # (B*1024, 3) f32 sorted
+    tri_v1: jnp.ndarray
+    tri_v2: jnp.ndarray
+    sorted_tri_index: jnp.ndarray  # (B*1024,) i32: sorted slot -> original tri id
+    root_lo: jnp.ndarray         # (3,) scene AABB
+    root_hi: jnp.ndarray
+
+    @property
+    def num_batches(self) -> int:
+        return self.tri_v0.shape[0] // BATCH_SIZE
+
+    @property
+    def tlas_internal(self) -> int:
+        return self.flat_boxes.shape[0] - self.num_batches * BLAS_NODES

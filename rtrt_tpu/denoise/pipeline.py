@@ -1,0 +1,88 @@
+"""Full SVGF-style denoising chain.
+
+TPU-native counterpart of the reference's host sequence
+(reference: src/denoising.cu:5-189, pipeline diagram at :7-46):
+
+    TemporalFilter -> tile noise -> SpatialFilter7x7 -> copy history
+    -> tile noise 16 -> 3x SpatialFilterGlobal5x5 (strides 3/6/12)
+    -> ApplyAlbedo -> TemporalFilter2 -> copy history2
+
+Differences by design: the whole chain is ONE jitted function (no kernel
+launches / device syncs between passes), history "copies" are just returned
+arrays, and noise gating lerps instead of skipping tiles (static shapes).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..utils.config import DenoiseParams, FeatureFlags
+from .spatial import spatial_filter_7x7, spatial_filter_wide
+from .temporal import temporal_filter, tile_noise_downsample, tile_noise_level
+
+
+class DenoiseHistory(NamedTuple):
+    """Persistent history state (the reference's history buffer set:
+    HistoryColorBuffer / HistoryColorDepth / material mask copies,
+    temporalDenoising.cuh:142-170)."""
+
+    color: jnp.ndarray    # (H,W,3) post-spatial accumulation (pass 1 target)
+    color2: jnp.ndarray   # (H,W,3) post-everything accumulation (pass 2)
+    depth: jnp.ndarray    # (H,W)
+    mat_id: jnp.ndarray   # (H,W) i32
+    valid: jnp.ndarray    # () bool — False on the first frame
+
+
+def init_history(h: int, w: int) -> DenoiseHistory:
+    return DenoiseHistory(
+        color=jnp.zeros((h, w, 3), jnp.float32),
+        color2=jnp.zeros((h, w, 3), jnp.float32),
+        depth=jnp.full((h, w), jnp.inf, jnp.float32),
+        mat_id=jnp.full((h, w), -1, jnp.int32),
+        valid=jnp.asarray(False),
+    )
+
+
+def denoise(color, albedo, normal, depth, mat_id, motion,
+            history: DenoiseHistory, p: DenoiseParams, flags: FeatureFlags,
+            frame_parity: int = 0):
+    """Run the chain on demodulated radiance.
+
+    Returns (final_color_with_albedo, new_history).
+    """
+    c = color
+
+    if flags.temporal_filter:
+        c = temporal_filter(c, normal, depth, mat_id, motion,
+                            history.color, history.depth, history.mat_id,
+                            history.valid, p)
+
+    noise8 = tile_noise_level(c, depth, 8)
+
+    if flags.spatial_filter:
+        c = spatial_filter_7x7(c, normal, depth, mat_id, noise8, p,
+                               frame_parity)
+
+    hist_color = c  # "CopyToHistoryColorBuffer" point (denoising.cu order)
+
+    if flags.spatial_filter:
+        noise16 = tile_noise_downsample(tile_noise_level(c, depth, 8))
+        for stride in (3, 6, 12):
+            c = spatial_filter_wide(c, normal, depth, mat_id, noise16, p,
+                                    stride)
+
+    # remodulate albedo (reference: ApplyAlbedo, denoising.cu:160-163)
+    c = c * albedo
+
+    if flags.second_temporal:
+        c = temporal_filter(c, normal, depth, mat_id, motion,
+                            history.color2, history.depth, history.mat_id,
+                            history.valid, p)
+    hist_color2 = c
+
+    new_history = DenoiseHistory(
+        color=hist_color, color2=hist_color2, depth=depth, mat_id=mat_id,
+        valid=jnp.asarray(True))
+    return c, new_history

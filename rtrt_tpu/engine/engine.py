@@ -1,0 +1,273 @@
+"""Engine: the public host runtime (init / render_frame / input / persist).
+
+Counterpart of the reference's `RayTracer` host object
+(reference: src/kernel.cuh:431-621 — init at src/init.cu:53, draw at
+src/kernel.cu:259, input at src/inputControl.cu:29-150), re-shaped around
+functional state: the Engine owns numpy/host state plus a jit-compiled frame
+executable per resolution bucket and threads the device-side `FrameState`
+through each call.
+
+Includes:
+  * dynamic resolution controller (bucketed static shapes; reference scales
+    width continuously at kernel.cu:78-114 — we snap to precompiled buckets
+    to avoid recompiles);
+  * WASD+mouse fly camera and Ctrl+C/Ctrl+V-style camera save/load
+    (reference: src/inputControl.cu:29-150, camera.bin -> camera.json);
+  * sky regeneration only on parameter change (reference: kernel.cu:285-308).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.camera import Camera, make_camera
+from ..denoise.pipeline import init_history
+from ..post.exposure import init_exposure_state
+from ..render.sky import bake_sky_maps, make_sky_params, sun_direction_from_time
+from ..render.texture import make_soil_textures
+from ..utils.config import (FeatureFlags, GlobalSettings, RenderParams,
+                            default_params)
+from ..utils.timer import FpsLog, Timer
+from .frame import FrameState, FrameStatic, make_frame_fn
+from .scene import (HostScene, build_demo_scene, build_mesh_scene,
+                    build_terrain_scene, padded_arrays)
+
+_BUCKET_HEIGHTS = (270, 360, 540, 720, 1080, 1440, 2160)
+
+
+def _bucket_for(height: int):
+    for h in _BUCKET_HEIGHTS:
+        if h >= height:
+            return h
+    return _BUCKET_HEIGHTS[-1]
+
+
+def _res_for_height(h: int):
+    """16:9, width snapped to a multiple of 16 (reference: kernel.cu:96-98)."""
+    w = (h * 16 // 9) // 16 * 16
+    return w, h
+
+
+class Engine:
+    """Public API: `Engine(settings).render_frame() -> (H,W,3) uint8`."""
+
+    def __init__(self, settings: GlobalSettings | None = None,
+                 flags: FeatureFlags | None = None,
+                 scene: HostScene | None = None,
+                 params: RenderParams | None = None):
+        self.settings = settings or GlobalSettings()
+        self.flags = flags or FeatureFlags()
+        self.params = params or default_params()
+
+        # ---- content (reference init.cu:82-97) ----
+        if scene is not None:
+            self.scene = scene
+        elif self.settings.scene == "terrain":
+            self.scene = build_terrain_scene(self.settings)
+        elif self.settings.scene == "demo":
+            self.scene = build_demo_scene()
+        elif self.settings.scene.startswith("mesh:"):
+            from ..content.meshio import load_mesh
+            v, f = load_mesh(self.settings.scene[5:])
+            self.scene = build_mesh_scene(v, f)
+        else:
+            raise ValueError(f"unknown scene '{self.settings.scene}'")
+
+        pad = padded_arrays(self.scene)
+        self.indices = jnp.asarray(pad["indices"])
+        self.tri_mat = jnp.asarray(pad["tri_mat"])
+        self.valid = jnp.asarray(pad["valid"])
+        self.materials = self.scene.materials
+        self.textures = make_soil_textures(self.settings.texture_size)
+
+        # ---- sky (regenerated on param change) ----
+        self._sky_key = None
+        self._bake_sky = jax.jit(bake_sky_maps)
+        self.sky = None
+        self._maybe_regen_sky()
+
+        # ---- camera ----
+        self.camera = make_camera(pos=(0.0, 8.0, -18.0), yaw=0.0, pitch=-0.25,
+                                  fov_y=1.1)
+        self.prev_camera = self.camera
+        if self.settings.load_camera_at_init and \
+                os.path.exists(self.settings.camera_path):
+            self.load_camera(self.settings.camera_path)
+
+        # ---- device frame state ----
+        self.state = FrameState(
+            vertices=jnp.asarray(self.scene.vertices),
+            normals=jnp.asarray(self.scene.normals),
+            history=init_history(1, 1),  # re-inited per bucket below
+            exposure=init_exposure_state(),
+            frame_idx=jnp.uint32(0),
+        )
+
+        # ---- resolution buckets ----
+        self._frame_fns = {}
+        self._cur_bucket = None
+        self.render_w = self.render_h = 0
+        self._set_bucket(_bucket_for(self.settings.render_height))
+
+        self.timer = Timer()
+        self.fps_log = FpsLog()
+        self._input = dict(keys=set(), last_cursor=None)
+
+    # ------------------------------------------------------------------
+    # resolution buckets / dynamic resolution
+    # ------------------------------------------------------------------
+
+    def _set_bucket(self, bucket_h: int):
+        if bucket_h == self._cur_bucket:
+            return
+        self._cur_bucket = bucket_h
+        self.render_w, self.render_h = _res_for_height(bucket_h)
+        static = FrameStatic(
+            render_w=self.render_w, render_h=self.render_h,
+            screen_w=self.settings.render_width,
+            screen_h=self.settings.render_height,
+            num_batches=self.scene.num_batches,
+            flags=self.flags)
+        if bucket_h not in self._frame_fns:
+            self._frame_fns[bucket_h] = make_frame_fn(static)
+        # history buffers are resolution-dependent — reset on switch
+        self.state = self.state._replace(
+            history=init_history(self.render_h, self.render_w))
+
+    def _dynamic_resolution_step(self, frame_time: float):
+        """Scale the bucket to hold the target frame time
+        (reference controller: kernel.cu:78-114, here bucket-snapped)."""
+        dr = self.settings.dynamic_resolution
+        if not dr.enabled or frame_time <= 0.0:
+            return
+        fps = 1.0 / frame_time
+        idx = _BUCKET_HEIGHTS.index(self._cur_bucket)
+        if fps < dr.target_fps - dr.deadband_fps and idx > 0:
+            self._set_bucket(_BUCKET_HEIGHTS[idx - 1])
+        elif fps > dr.target_fps + dr.deadband_fps * 4 and \
+                idx < len(_BUCKET_HEIGHTS) - 1:
+            nh = _BUCKET_HEIGHTS[idx + 1]
+            if nh <= self.settings.render_height:
+                self._set_bucket(nh)
+
+    # ------------------------------------------------------------------
+    # sky regeneration (reference: kernel.cu:285-308)
+    # ------------------------------------------------------------------
+
+    def _maybe_regen_sky(self):
+        sp = self.params.sky
+        key = tuple(float(x) for x in (sp.time_of_day, sp.sun_axis_angle,
+                                       sp.sun_intensity, sp.rayleigh, sp.mie,
+                                       sp.mie_g))
+        if key == self._sky_key:
+            return
+        self._sky_key = key
+        sun = sun_direction_from_time(sp.time_of_day, float(sp.sun_axis_angle))
+        elev = math.asin(max(-1.0, min(1.0, float(sun[1]))))
+        azim = math.atan2(float(sun[0]), float(sun[2]))
+        sky_params = make_sky_params(
+            sun_elevation=elev, sun_azimuth=azim,
+            sun_intensity=float(sp.sun_intensity),
+            rayleigh_scale=float(sp.rayleigh), mie_scale=float(sp.mie),
+            mie_g=float(sp.mie_g))
+        self.sky = self._bake_sky(sky_params)
+
+    # ------------------------------------------------------------------
+    # per-frame
+    # ------------------------------------------------------------------
+
+    def render_frame(self, dt: float | None = None) -> np.ndarray:
+        """Render one frame; returns (screen_h, screen_w, 3) uint8."""
+        if dt is None:
+            dt = self.timer.update()
+        self._update_camera_from_input(dt)
+        self._maybe_regen_sky()
+
+        fn = self._frame_fns[self._cur_bucket]
+        image, new_state = fn(self.indices, self.tri_mat, self.valid,
+                              self.materials, self.textures, self.sky,
+                              self.state, self.camera, self.prev_camera,
+                              self.params, jnp.float32(max(dt, 1e-4)))
+        self.state = new_state
+        self.prev_camera = self.camera
+        self._dynamic_resolution_step(dt)
+        self.fps_log.maybe_log(self.timer.fps, self.render_w, self.render_h)
+        return np.asarray(image)
+
+    # ------------------------------------------------------------------
+    # input control (reference: src/inputControl.cu:29-113)
+    # ------------------------------------------------------------------
+
+    MOVE_SPEED = 8.0
+    LOOK_SPEED = 0.003
+
+    def key_event(self, key: str, down: bool):
+        key = key.lower()
+        if down:
+            self._input["keys"].add(key)
+        else:
+            self._input["keys"].discard(key)
+
+    def cursor_event(self, x: float, y: float):
+        last = self._input["last_cursor"]
+        self._input["last_cursor"] = (x, y)
+        if last is None:
+            return
+        dx, dy = x - last[0], y - last[1]
+        self.camera = self.camera._replace(
+            yaw=self.camera.yaw + dx * self.LOOK_SPEED,
+            pitch=float(np.clip(self.camera.pitch - dy * self.LOOK_SPEED,
+                                -1.5, 1.5)))
+
+    def _update_camera_from_input(self, dt: float):
+        keys = self._input["keys"]
+        if not keys:
+            return
+        cy, sy = math.cos(float(self.camera.yaw)), math.sin(float(self.camera.yaw))
+        fwd = np.array([sy, 0.0, cy])
+        right = np.array([cy, 0.0, -sy])
+        move = np.zeros(3)
+        if "w" in keys:
+            move += fwd
+        if "s" in keys:
+            move -= fwd
+        if "d" in keys:
+            move += right
+        if "a" in keys:
+            move -= right
+        if "c" in keys:
+            move += np.array([0.0, 1.0, 0.0])
+        if "x" in keys:
+            move -= np.array([0.0, 1.0, 0.0])
+        if np.any(move):
+            pos = np.asarray(self.camera.pos) + move * (self.MOVE_SPEED * dt)
+            self.camera = self.camera._replace(pos=jnp.asarray(pos, jnp.float32))
+
+    # ------------------------------------------------------------------
+    # camera persistence (reference: inputControl.cu:115-150, camera.bin)
+    # ------------------------------------------------------------------
+
+    def save_camera(self, path: str | None = None):
+        path = path or self.settings.camera_path
+        c = self.camera
+        data = dict(pos=[float(x) for x in np.asarray(c.pos)],
+                    yaw=float(c.yaw), pitch=float(c.pitch),
+                    fov_y=float(c.fov_y), aperture=float(c.aperture),
+                    focal_dist=float(c.focal_dist))
+        with open(path, "w") as f:
+            json.dump(data, f, indent=2)
+
+    def load_camera(self, path: str | None = None):
+        path = path or self.settings.camera_path
+        with open(path) as f:
+            d = json.load(f)
+        self.camera = make_camera(pos=tuple(d["pos"]), yaw=d["yaw"],
+                                  pitch=d["pitch"], fov_y=d["fov_y"],
+                                  aperture=d["aperture"],
+                                  focal_dist=d["focal_dist"])

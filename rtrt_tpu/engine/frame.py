@@ -1,0 +1,171 @@
+"""The fused per-frame program: BVH rebuild -> path trace -> denoise -> post.
+
+Counterpart of the reference's RayTracer::draw
+(reference: src/kernel.cu:259-398) with one architectural difference that IS
+the TPU design: the reference serializes ~30 kernel launches with a
+cudaDeviceSynchronize between every stage (kernel.cu:282-396); here the
+ENTIRE frame — two-level LBVH rebuild, wavefront path trace, SVGF chain,
+postprocess, quantize — is a single jitted XLA program.  No host round
+trips, no per-stage sync, full compiler fusion across stage boundaries.
+
+`make_frame_fn` closes over the static scene shape/flags and returns a
+jit-compiled callable; dynamic resolution buckets each get their own
+compiled executable (reference: dynamic resolution at kernel.cu:78-114;
+static-shape strategy per SURVEY.md §7 stage 4).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..bvh.build import build_scene_bvh
+from ..bvh.types import BATCH_SIZE
+from ..core.camera import Camera, camera_basis, world_to_screen
+from ..denoise.pipeline import DenoiseHistory, denoise
+from ..ops.reduce import segment_sum
+from ..post.pipeline import postprocess
+from ..render.integrator import GBuffer, SceneData, path_trace
+from ..render.raygen import generate_rays, pixel_grid
+from ..render.sampling import rand2
+from ..render.sky import SkyMaps
+from ..utils.config import FeatureFlags, RenderParams
+
+
+class FrameState(NamedTuple):
+    """Mutable (functionally-threaded) per-frame state."""
+
+    vertices: jnp.ndarray      # (V,3)
+    normals: jnp.ndarray       # (V,3)
+    history: DenoiseHistory
+    exposure: jnp.ndarray      # (4,)
+    frame_idx: jnp.ndarray     # () uint32
+
+
+class FrameStatic(NamedTuple):
+    """Static (hashable) frame configuration — part of the jit key."""
+
+    render_w: int
+    render_h: int
+    screen_w: int
+    screen_h: int
+    num_batches: int
+    flags: FeatureFlags
+    max_traversal_steps: int = 1024
+
+
+def compute_smooth_normals(vertices, indices):
+    """Area-weighted vertex normals via segment_sum — the atomic-free analog
+    of the reference's GenerateSmoothNormals (src/kernel.cu:228-257)."""
+    v0 = vertices[indices[:, 0]]
+    v1 = vertices[indices[:, 1]]
+    v2 = vertices[indices[:, 2]]
+    fn = jnp.cross(v1 - v0, v2 - v0)  # area-weighted
+    nv = vertices.shape[0]
+    acc = (segment_sum(fn, indices[:, 0], nv)
+           + segment_sum(fn, indices[:, 1], nv)
+           + segment_sum(fn, indices[:, 2], nv))
+    norm = jnp.linalg.norm(acc, axis=-1, keepdims=True)
+    return acc / jnp.maximum(norm, 1e-12)
+
+
+def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
+                 textures, sky: SkyMaps, state: FrameState, camera: Camera,
+                 prev_camera: Camera, params: RenderParams, dt):
+    """One full frame.  Returns (u8 image (screen_h, screen_w, 3), new state).
+
+    indices/tri_mat/valid: padded static scene arrays (engine/scene.py);
+    materials/textures: static tables; sky: baked maps.
+    """
+    w, h = static.render_w, static.render_h
+    sw, sh = static.screen_w, static.screen_h
+    b = static.num_batches
+    frame_idx = state.frame_idx
+
+    # ---- geometry gather + two-level LBVH rebuild (bvh.cu:7-97 analog) ----
+    verts = state.vertices
+    tv0 = verts[indices[:, 0]].reshape(b, BATCH_SIZE, 3)
+    tv1 = verts[indices[:, 1]].reshape(b, BATCH_SIZE, 3)
+    tv2 = verts[indices[:, 2]].reshape(b, BATCH_SIZE, 3)
+    bvh = build_scene_bvh(tv0, tv1, tv2, valid)
+
+    # per-triangle attributes in sorted leaf order
+    sort_idx = bvh.sorted_tri_index
+    flat_idx = indices[sort_idx]
+    nrm = state.normals
+    scene = SceneData(
+        bvh=bvh,
+        tri_n0=nrm[flat_idx[:, 0]],
+        tri_n1=nrm[flat_idx[:, 1]],
+        tri_n2=nrm[flat_idx[:, 2]],
+        tri_mat=tri_mat[sort_idx],
+        materials=materials,
+        sky=sky,
+        textures=textures,
+    )
+
+    # ---- raygen (1 spp) ----
+    cam = camera._replace(aperture=params.sample.aperture,
+                          focal_dist=params.sample.focal_dist)
+    basis = camera_basis(cam)
+    prev_basis = camera_basis(prev_camera)
+    _, pixel_ids = pixel_grid(w, h)
+    jitter = rand2(pixel_ids, frame_idx, jnp.uint32(0))
+    lens = rand2(pixel_ids, frame_idx, jnp.uint32(256))
+    rays = generate_rays(basis, w, h, jitter, lens)
+
+    # ---- wavefront path trace ----
+    gbuf: GBuffer = path_trace(scene, rays, pixel_ids, frame_idx, prev_basis,
+                               w / h, max_steps=static.max_traversal_steps)
+
+    color = gbuf.color.reshape(h, w, 3)
+    albedo = gbuf.albedo.reshape(h, w, 3)
+    normal = gbuf.normal.reshape(h, w, 3)
+    depth = gbuf.depth.reshape(h, w)
+    mat_id = gbuf.mat_id.reshape(h, w)
+    motion = gbuf.motion.reshape(h, w, 2)
+
+    # ---- SVGF denoise ----
+    if static.flags.denoise:
+        parity = (frame_idx & 1).astype(jnp.int32)
+        final, new_history = denoise(color, albedo, normal, depth, mat_id,
+                                     motion, state.history, params.denoise,
+                                     static.flags,
+                                     frame_parity=parity)
+    else:
+        final = color * albedo
+        new_history = state.history
+
+    # ---- postprocess ----
+    sun_uv, sun_z = world_to_screen(basis, basis.pos + sky.sun_dir * 1e4,
+                                    w / h)
+    # sun visibility: depth at the sun pixel is sky (reference LensFlarePred)
+    sx = jnp.clip((sun_uv[0] * w).astype(jnp.int32), 0, w - 1)
+    sy = jnp.clip((sun_uv[1] * h).astype(jnp.int32), 0, h - 1)
+    sun_visible = jnp.where((sun_z > 0) & ~jnp.isfinite(depth[sy, sx]),
+                            1.0, 0.0)
+
+    if static.flags.postprocess:
+        image, new_exposure = postprocess(final, state.exposure, dt, sun_uv,
+                                          sun_visible, params.post,
+                                          static.flags, sh, sw, frame_idx)
+    else:
+        ldr = jnp.clip(final, 0.0, 1.0) ** (1.0 / 2.2)
+        if (sh, sw) != (h, w):
+            from ..ops.resize import upscale_catmull_rom
+            ldr = jnp.clip(upscale_catmull_rom(ldr, sh, sw), 0.0, 1.0)
+        image = (ldr * 255.0 + 0.5).astype(jnp.uint8)
+        new_exposure = state.exposure
+
+    new_state = FrameState(vertices=state.vertices, normals=state.normals,
+                           history=new_history, exposure=new_exposure,
+                           frame_idx=frame_idx + 1)
+    return image, new_state
+
+
+def make_frame_fn(static: FrameStatic):
+    """Compile the frame program for a static configuration."""
+    return jax.jit(partial(render_frame, static))

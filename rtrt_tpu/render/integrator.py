@@ -1,0 +1,262 @@
+"""Wavefront path-tracing integrator (1 spp, fixed bounce program, MIS).
+
+TPU-native counterpart of the reference's PathTrace megakernel
+(reference: src/pathtrace.cuh:11-128) and its bounce logic
+(reference: src/surfaceInteraction.cuh:11-310, src/traverse.cuh:9-56):
+
+  * fixed unrolled bounce program of `SEGMENTS` scene intersections — the
+    analog of the reference's primary + 3 glossy + 2 diffuse chain
+    (pathtrace.cuh:66-105); every lane walks the same program with masks;
+  * NEE with *single-ray MIS selection*: at a rough hit the lane samples BOTH
+    the light and the BSDF, then stochastically continues along ONE of them
+    (the reference's power-heuristic ray-selection trick,
+    surfaceInteraction.cuh:233-304) — one traversal per bounce, total
+    traversal count matches the reference's ~5 intersects/pixel budget;
+  * shadow rays resolve against the environment in the NEXT segment's
+    intersect (miss == unoccluded), exactly like the reference's
+    shadow-ray / GetLightSource flow;
+  * primary hit writes the G-buffer the denoiser needs: demodulated
+    radiance, albedo, shading normal, depth, material id, motion vector
+    (pathtrace.cuh:121-127);
+  * radiance clamped to [0, CLAMP] against fireflies (pathtrace.cuh:108-119).
+
+Everything is branchless over (N,) ray lanes; the whole integrator jits into
+the per-frame XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..bvh.traverse import SceneBvh, intersect_scene
+from ..core.camera import CameraBasis, motion_vector
+from ..core.vecmath import dot, normalize
+from .bsdf import Materials, eval_bsdf, sample_bsdf
+from .light import env_light_pdf, env_radiance, sample_env_light
+from .raygen import Rays
+from .sampling import power_heuristic, rand2
+from .sky import SkyMaps
+from .texture import SoilTextures, apply_normal_map, triplanar_sample
+
+SEGMENTS = 5          # scene intersects per pixel (reference: ~5)
+RADIANCE_CLAMP = 10.0  # reference: pathtrace.cuh:108-119
+
+
+class SceneData(NamedTuple):
+    """Everything the integrator needs, in sorted-leaf triangle order."""
+
+    bvh: SceneBvh
+    tri_n0: jnp.ndarray   # (T,3) vertex normals (sorted order)
+    tri_n1: jnp.ndarray
+    tri_n2: jnp.ndarray
+    tri_mat: jnp.ndarray  # (T,) i32 material ids (sorted order)
+    materials: Materials
+    sky: SkyMaps
+    textures: SoilTextures
+
+
+class GBuffer(NamedTuple):
+    """Per-pixel wavefront outputs consumed by the denoiser
+    (the analog of the reference's 20-buffer set written at
+    pathtrace.cuh:123-127)."""
+
+    color: jnp.ndarray    # (N,3) albedo-demodulated radiance
+    albedo: jnp.ndarray   # (N,3)
+    normal: jnp.ndarray   # (N,3)
+    depth: jnp.ndarray    # (N,) view depth (inf = sky)
+    motion: jnp.ndarray   # (N,2) uv motion vector
+    mat_id: jnp.ndarray   # (N,) i32 (-1 = sky) — the material mask
+
+
+def _fetch_surface(scene: SceneData, tri, u, v, wo):
+    """Interpolate + orient shading attributes at a hit."""
+    t = jnp.maximum(tri, 0)
+    n0 = scene.tri_n0[t]
+    n1 = scene.tri_n1[t]
+    n2 = scene.tri_n2[t]
+    w = 1.0 - u - v
+    ns = normalize(w[..., None] * n0 + u[..., None] * n1 + v[..., None] * n2)
+    # geometric normal for orientation
+    v0 = scene.bvh.tri_v0[t]
+    v1 = scene.bvh.tri_v1[t]
+    v2 = scene.bvh.tri_v2[t]
+    ng = normalize(jnp.cross(v1 - v0, v2 - v0))
+    # flip both to the wo side (reference: src/traverse.cuh:192-206)
+    flip = jnp.sign(dot(ng, wo))[..., None]
+    flip = jnp.where(flip == 0.0, 1.0, flip)
+    ng = ng * flip
+    ns = ns * jnp.sign(dot(ns, ng))[..., None]
+    ns = jnp.where(dot(ns, wo)[..., None] > 0.0, ns, ng)
+    mat = scene.tri_mat[t]
+    return ns, ng, mat
+
+
+def _material_at(scene: SceneData, mat, pos, ns, cone_width):
+    """Resolve material params, applying triplanar textures where flagged
+    (reference: src/surfaceInteraction.cuh:75-164)."""
+    m = scene.materials
+    mtype = m.mtype[mat]
+    albedo = m.albedo[mat]
+    rough = m.roughness[mat]
+    ior = m.ior[mat]
+    f0 = m.f0[mat]
+    textured = m.textured[mat] != 0
+
+    tex_a = triplanar_sample(scene.textures.albedo_ao, pos, ns, cone_width)
+    tex_nr = triplanar_sample(scene.textures.normal_rough, pos, ns, cone_width)
+    albedo = jnp.where(textured[..., None],
+                       albedo * tex_a[..., 0:3] * tex_a[..., 3:4], albedo)
+    rough = jnp.where(textured, tex_nr[..., 3], rough)
+    ns2 = jnp.where(textured[..., None],
+                    apply_normal_map(ns, tex_nr[..., 0:3]), ns)
+    return mtype, albedo, rough, ior, f0, ns2
+
+
+def path_trace(scene: SceneData, rays: Rays, pixel_ids, frame_idx,
+               prev_basis: CameraBasis, aspect,
+               max_steps: int = 1024) -> GBuffer:
+    """Trace the full bounce program for all rays; returns the G-buffer."""
+    n = rays.org.shape[0]
+    f3 = lambda: jnp.zeros((n, 3), jnp.float32)
+
+    state = dict(
+        org=rays.org, dir=rays.dir,
+        beta=jnp.ones((n, 3), jnp.float32),        # path throughput
+        radiance=f3(),
+        done=jnp.zeros((n,), bool),
+        is_shadow=jnp.zeros((n,), bool),           # current ray is a shadow ray
+        pending=f3(),                              # contribution if unoccluded
+        shadow_tmax=jnp.full((n,), jnp.inf),
+        prev_pdf=jnp.zeros((n,), jnp.float32),     # bsdf pdf of current ray
+        prev_delta=jnp.ones((n,), bool),           # no MIS on primary/delta
+        inside=jnp.zeros((n,), bool),              # inside glass
+        cone=rays.cone_width,
+        # G-buffer
+        albedo=jnp.ones((n, 3), jnp.float32),
+        normal=f3(),
+        depth=jnp.full((n,), jnp.inf),
+        mat_id=jnp.full((n,), -1, jnp.int32),
+        got_primary=jnp.zeros((n,), bool),
+    )
+
+    for seg in range(SEGMENTS):
+        state = _segment(scene, state, pixel_ids, frame_idx, seg, max_steps,
+                         is_last=(seg == SEGMENTS - 1))
+
+    # demodulated color (reference: albedo decouple at pathtrace.cuh:121)
+    safe_albedo = jnp.maximum(state["albedo"], 1e-3)
+    color = jnp.clip(state["radiance"], 0.0, RADIANCE_CLAMP) / safe_albedo
+
+    mv = motion_vector(prev_basis, rays.uv,
+                       rays.org + rays.dir * jnp.minimum(state["depth"], 1e8)[..., None],
+                       aspect)
+    return GBuffer(color=color, albedo=state["albedo"], normal=state["normal"],
+                   depth=state["depth"], motion=mv, mat_id=state["mat_id"])
+
+
+def _segment(scene: SceneData, s, pixel_ids, frame_idx, seg, max_steps,
+             is_last):
+    active = ~s["done"]
+    hit = intersect_scene(scene.bvh, s["org"], s["dir"],
+                          jnp.where(s["is_shadow"], s["shadow_tmax"], jnp.inf),
+                          max_steps=max_steps)
+    found = (hit.tri >= 0) & active
+
+    # ---------------- shadow-ray resolution ----------------
+    sh = s["is_shadow"] & active
+    unoccluded = sh & ~(hit.tri >= 0)
+    s["radiance"] = s["radiance"] + jnp.where(unoccluded[..., None],
+                                              s["pending"], 0.0)
+    s["done"] = s["done"] | sh  # shadow ray ends the path either way
+
+    # ---------------- escaped scatter rays: env light + MIS ----------------
+    esc = active & ~sh & ~(hit.tri >= 0)
+    env = env_radiance(scene.sky, s["dir"])
+    lpdf = env_light_pdf(scene.sky, s["dir"])
+    w_env = jnp.where(s["prev_delta"], 1.0,
+                      power_heuristic(1.0, s["prev_pdf"], 1.0, lpdf))
+    s["radiance"] = s["radiance"] + jnp.where(
+        esc[..., None], s["beta"] * env * w_env[..., None], 0.0)
+    s["done"] = s["done"] | esc
+
+    live = found & ~sh
+    if is_last:
+        s["done"] = s["done"] | live
+        return s
+
+    # ---------------- surface interaction ----------------
+    wo = -s["dir"]
+    pos = s["org"] + s["dir"] * hit.t[..., None]
+    cone_w = s["cone"] * hit.t  # footprint at the hit
+    ns, ng, mat = _fetch_surface(scene, hit.tri, hit.u, hit.v, wo)
+    mtype, albedo, rough, ior, f0, ns = _material_at(scene, mat, pos, ns, cone_w)
+
+    # primary-hit G-buffer capture (reference: pathtrace.cuh:123-127)
+    first = live & ~s["got_primary"]
+    s["normal"] = jnp.where(first[..., None], ns, s["normal"])
+    s["depth"] = jnp.where(first, hit.t, s["depth"])
+    s["mat_id"] = jnp.where(first, mat, s["mat_id"])
+    s["albedo"] = jnp.where(first[..., None], jnp.maximum(albedo, 1e-3),
+                            s["albedo"])
+    s["got_primary"] = s["got_primary"] | live
+
+    # decorrelated low-discrepancy dims for this bounce: bsdf pair, light
+    # pair, selection scalar (the reference budgets 16 dims/frame,
+    # pathtrace.cuh:53-62; ours are hash-decorrelated so the budget is free)
+    u_bsdf = rand2(pixel_ids, frame_idx, jnp.uint32(2 + 2 * seg))
+    u_light = rand2(pixel_ids, frame_idx, jnp.uint32(64 + 2 * seg))
+    u_aux = rand2(pixel_ids, frame_idx, jnp.uint32(128 + 2 * seg))
+    u_sel = u_aux[..., 0]
+
+    bs = sample_bsdf(mtype, albedo, rough, ior, f0, ns, wo, s["inside"], u_bsdf)
+    rough_lane = live & ~bs.is_delta
+
+    # --- light sample + MIS (rough surfaces only) ---
+    ls = sample_env_light(scene.sky, jnp.concatenate(
+        [u_light[..., 0:1], u_light[..., 1:2], u_aux[..., 1:2]], axis=-1))
+    f_l, pdf_b_at_l = eval_bsdf(mtype, albedo, rough, f0, ns, wo, ls.wi)
+    cos_l = jnp.maximum(dot(ns, ls.wi), 0.0)
+    w_l = power_heuristic(1.0, ls.pdf, 1.0, pdf_b_at_l)
+    c_light = s["beta"] * f_l * (cos_l / jnp.maximum(ls.pdf, 1e-8))[..., None] \
+        * ls.radiance * w_l[..., None]
+    c_light = jnp.where((ls.pdf > 1e-8)[..., None], c_light, 0.0)
+
+    # --- stochastic single-ray selection (reference trick) ---
+    # probability of taking the shadow ray ~ its relative contribution
+    lum = lambda c: jnp.sum(c * jnp.array([0.2126, 0.7152, 0.0722]), axis=-1)
+    est_l = lum(c_light)
+    est_s = lum(s["beta"] * bs.weight)
+    q = jnp.where(est_l + est_s > 0.0,
+                  est_l / jnp.maximum(est_l + est_s, 1e-12), 0.0)
+    q = jnp.clip(q, 0.0, 0.9)
+    take_shadow = rough_lane & (u_sel < q) & (est_l > 0.0)
+
+    # shadow-ray branch: contribution scaled by 1/q
+    s["is_shadow"] = jnp.where(take_shadow, True, False)
+    s["pending"] = jnp.where(take_shadow[..., None],
+                             c_light / jnp.maximum(q, 1e-3)[..., None], 0.0)
+    s["shadow_tmax"] = jnp.where(take_shadow, ls.dist, jnp.inf)
+
+    # scatter branch (delta lanes always scatter)
+    scatter = live & ~take_shadow
+    inv_p = jnp.where(rough_lane, 1.0 / jnp.maximum(1.0 - q, 1e-3), 1.0)
+    new_beta = s["beta"] * bs.weight * inv_p[..., None]
+    s["beta"] = jnp.where(scatter[..., None], new_beta, s["beta"])
+    s["prev_pdf"] = jnp.where(scatter, bs.pdf, s["prev_pdf"])
+    s["prev_delta"] = jnp.where(scatter, bs.is_delta, s["prev_delta"])
+
+    # glass transmission flips inside-ness when crossing the surface
+    crossed = scatter & (dot(bs.wi, ng) < 0.0)
+    s["inside"] = jnp.where(crossed, ~s["inside"], s["inside"])
+
+    new_dir = jnp.where(take_shadow[..., None], ls.wi, bs.wi)
+    off = jnp.where((dot(new_dir, ng) >= 0.0)[..., None], ng * 1e-3, -ng * 1e-3)
+    s["org"] = jnp.where(live[..., None], pos + off, s["org"])
+    s["dir"] = jnp.where(live[..., None], new_dir, s["dir"])
+    s["cone"] = jnp.where(live, cone_w, s["cone"])
+
+    # dead throughput terminates the lane
+    s["done"] = s["done"] | (live & ~take_shadow & (lum(s["beta"]) < 1e-5))
+    return s

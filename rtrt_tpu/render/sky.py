@@ -1,0 +1,342 @@
+"""Physically-based sky: single-scattering Rayleigh + Mie atmosphere.
+
+Counterpart of the reference's environment lighting: it renders sky radiance
+into a 512x256 *equal-area* map plus a small sun-cone map with limb
+darkening, and builds luminance CDFs for importance sampling
+(reference: src/sky.cuh:199-320 map kernels, regenerated only on parameter
+change at src/kernel.cu:285-308; the Rayleigh-Mie single-scattering model
+matches the reference's raymarched atmosphere in src/sky2.cuh:51-130).
+
+TPU-first design choices:
+  * the map uses the exact equal-area cylindrical (Lambert) projection —
+    every texel subtends the same solid angle, so the sampling PDF is just
+    normalized luminance (no sin-theta correction anywhere);
+  * the raymarch is a fixed-shape (H*W, VIEW_STEPS) vectorized loop — one
+    XLA program, regenerated only when sun/params change;
+  * physical constants are the standard published earth-atmosphere values
+    (Nishita 1993 lineage).
+
+World convention: +y up; directions are unit vectors in world space.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core.color import luminance
+from ..core.vecmath import dot, normalize, vec3
+from ..ops.scan import pdf_to_cdf
+
+# --- standard earth-atmosphere constants (m) ---
+PLANET_RADIUS = 6360e3
+ATMOSPHERE_TOP = 6420e3
+RAYLEIGH_SCALE_H = 7994.0
+MIE_SCALE_H = 1200.0
+BETA_RAYLEIGH = jnp.array([5.802e-6, 13.558e-6, 33.1e-6], jnp.float32)
+BETA_MIE_SCATTER = 3.996e-6
+BETA_MIE_ABSORB = 4.40e-6
+
+SUN_ANGULAR_RADIUS = 0.004675  # radians (~0.268 deg)
+SUN_COS_THETA_MAX = float(jnp.cos(SUN_ANGULAR_RADIUS))
+
+SKY_RES = (256, 512)   # (H, W) equal-area map (reference: 512x256)
+SUN_RES = (32, 32)     # sun cone map (reference: 32x32)
+
+VIEW_STEPS = 32
+LIGHT_STEPS = 8
+
+
+class SkyParams(NamedTuple):
+    """Runtime-tunable sky parameters (analog of the reference's SkyParams
+    UI block, src/settingParams.h + sky regeneration flag)."""
+
+    sun_dir: jnp.ndarray        # (3,) unit, +y up
+    sun_intensity: jnp.ndarray  # () solar irradiance scale
+    rayleigh_scale: jnp.ndarray  # () multiplier on rayleigh scattering
+    mie_scale: jnp.ndarray      # () multiplier on mie scattering
+    mie_g: jnp.ndarray          # () HG anisotropy
+    altitude: jnp.ndarray       # () observer altitude above ground (m)
+    ground_albedo: jnp.ndarray  # (3,) below-horizon tint
+
+
+def make_sky_params(sun_elevation=0.7, sun_azimuth=0.2, sun_intensity=20.0,
+                    rayleigh_scale=1.0, mie_scale=1.0, mie_g=0.76,
+                    altitude=200.0, ground_albedo=(0.3, 0.25, 0.2)) -> SkyParams:
+    ce = jnp.cos(jnp.asarray(sun_elevation, jnp.float32))
+    se = jnp.sin(jnp.asarray(sun_elevation, jnp.float32))
+    ca = jnp.cos(jnp.asarray(sun_azimuth, jnp.float32))
+    sa = jnp.sin(jnp.asarray(sun_azimuth, jnp.float32))
+    sun = normalize(vec3(ce * sa, se, ce * ca))
+    f = lambda x: jnp.asarray(x, jnp.float32)
+    return SkyParams(sun, f(sun_intensity), f(rayleigh_scale), f(mie_scale),
+                     f(mie_g), f(altitude), f(jnp.array(ground_albedo)))
+
+
+def sun_direction_from_time(time_of_day, axis_angle=0.3):
+    """Sun direction from a [0,1) day fraction, tilted axis — analog of the
+    reference's time-of-day sun path (src/kernel.cu:120-123)."""
+    ang = (jnp.asarray(time_of_day, jnp.float32) - 0.25) * 2.0 * jnp.pi
+    d = vec3(jnp.cos(ang), jnp.sin(ang), 0.0)
+    ca, sa = jnp.cos(axis_angle), jnp.sin(axis_angle)
+    # tilt around x: rotate the orbit plane
+    return normalize(vec3(d[..., 0], d[..., 1] * ca, d[..., 1] * sa))
+
+
+# ---------------------------------------------------------------------------
+# equal-area map parameterization (exact Lambert cylindrical)
+# ---------------------------------------------------------------------------
+
+
+def dir_to_equal_area_uv(d):
+    """Unit dir (...,3) -> uv (...,2) in [0,1); equal-area in solid angle."""
+    u = jnp.arctan2(d[..., 2], d[..., 0]) / (2.0 * jnp.pi) + 0.5
+    v = (d[..., 1] + 1.0) * 0.5  # y uniform == equal-area
+    return jnp.stack([u, v], axis=-1)
+
+
+def equal_area_uv_to_dir(uv):
+    """Inverse of dir_to_equal_area_uv."""
+    phi = (uv[..., 0] - 0.5) * 2.0 * jnp.pi
+    y = uv[..., 1] * 2.0 - 1.0
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - y * y))
+    return vec3(r * jnp.cos(phi), y, r * jnp.sin(phi))
+
+
+def texel_solid_angle(h, w):
+    return 4.0 * jnp.pi / (h * w)
+
+
+# ---------------------------------------------------------------------------
+# single-scattering raymarch
+# ---------------------------------------------------------------------------
+
+
+def _atmosphere_intersect(org, d, radius):
+    """Far intersection distance of ray with sphere |p|=radius (0 if none)."""
+    b = dot(org, d)
+    c = dot(org, org) - radius * radius
+    disc = b * b - c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t = -b + sq
+    return jnp.where(disc > 0.0, jnp.maximum(t, 0.0), 0.0)
+
+
+def _densities(p):
+    """(rayleigh, mie) relative densities at points p (...,3)."""
+    h = jnp.sqrt(jnp.maximum(dot(p, p), 1.0)) - PLANET_RADIUS
+    h = jnp.maximum(h, 0.0)
+    return jnp.exp(-h / RAYLEIGH_SCALE_H), jnp.exp(-h / MIE_SCALE_H)
+
+
+def _optical_depth_to_sun(p, sun_dir):
+    """Rayleigh/Mie optical depth from p to the top of the atmosphere."""
+    t_top = _atmosphere_intersect(p, jnp.broadcast_to(sun_dir, p.shape), ATMOSPHERE_TOP)
+    ds = t_top / LIGHT_STEPS
+    od_r = jnp.zeros(p.shape[:-1], jnp.float32)
+    od_m = jnp.zeros(p.shape[:-1], jnp.float32)
+    for i in range(LIGHT_STEPS):
+        sp = p + sun_dir * ((i + 0.5) * ds)[..., None]
+        dr, dm = _densities(sp)
+        od_r = od_r + dr * ds
+        od_m = od_m + dm * ds
+    return od_r, od_m
+
+
+def _phase_rayleigh(mu):
+    return 3.0 / (16.0 * jnp.pi) * (1.0 + mu * mu)
+
+
+def _phase_hg(mu, g):
+    """Henyey-Greenstein (reference: src/sky2.cuh phase functions)."""
+    g2 = g * g
+    denom = jnp.maximum(1.0 + g2 - 2.0 * g * mu, 1e-6)
+    return (1.0 - g2) / (4.0 * jnp.pi * denom * jnp.sqrt(denom))
+
+
+def atmosphere_radiance(view_dirs, params: SkyParams):
+    """Single-scattered sky radiance along view dirs (...,3) -> (...,3).
+
+    Fixed VIEW_STEPS x LIGHT_STEPS march, vectorized over all dirs.
+    View rays that hit the planet march only to the ground point (the dark
+    band below the horizon; scene geometry normally covers it).
+    """
+    org = jnp.zeros_like(view_dirs) + vec3(0.0, PLANET_RADIUS + jnp.maximum(params.altitude, 1.0), 0.0)
+    d = view_dirs
+
+    t_atmo = _atmosphere_intersect(org, d, ATMOSPHERE_TOP)
+    # nearest ground hit bounds the march
+    b = dot(org, d)
+    c = dot(org, org) - PLANET_RADIUS * PLANET_RADIUS
+    disc = b * b - c
+    t_ground = jnp.where((disc > 0.0) & (-b - jnp.sqrt(jnp.maximum(disc, 0.0)) > 0.0),
+                         -b - jnp.sqrt(jnp.maximum(disc, 0.0)), jnp.inf)
+    t_end = jnp.minimum(t_atmo, t_ground)
+
+    beta_r = BETA_RAYLEIGH * params.rayleigh_scale
+    beta_ms = BETA_MIE_SCATTER * params.mie_scale
+    beta_me = (BETA_MIE_SCATTER + BETA_MIE_ABSORB) * params.mie_scale
+
+    mu = dot(d, jnp.broadcast_to(params.sun_dir, d.shape))
+    ph_r = _phase_rayleigh(mu)
+    ph_m = _phase_hg(mu, params.mie_g)
+
+    ds = t_end / VIEW_STEPS
+    od_r = jnp.zeros(d.shape[:-1], jnp.float32)
+    od_m = jnp.zeros(d.shape[:-1], jnp.float32)
+    sum_r = jnp.zeros(d.shape, jnp.float32)
+    sum_m = jnp.zeros(d.shape, jnp.float32)
+    for i in range(VIEW_STEPS):
+        p = org + d * ((i + 0.5) * ds)[..., None]
+        dr, dm = _densities(p)
+        od_r = od_r + dr * ds
+        od_m = od_m + dm * ds
+        sod_r, sod_m = _optical_depth_to_sun(p, params.sun_dir)
+        tau = (beta_r * (od_r + sod_r)[..., None]
+               + beta_me * (od_m + sod_m)[..., None])
+        attn = jnp.exp(-tau)
+        sum_r = sum_r + attn * (dr * ds)[..., None]
+        sum_m = sum_m + attn * (dm * ds)[..., None]
+
+    radiance = params.sun_intensity * (
+        sum_r * beta_r * ph_r[..., None] + sum_m * beta_ms * ph_m[..., None])
+
+    # below-horizon: fade to a simple ground tint lit by the sky (the scene's
+    # own geometry normally covers this; analog of the reference's horizon
+    # mist blend, src/light.cuh:50-54)
+    hit_ground = jnp.isfinite(t_ground)
+    sun_up = jnp.maximum(params.sun_dir[1], 0.0)
+    ground = params.ground_albedo * (0.3 + 0.7 * sun_up) * params.sun_intensity * 0.01
+    radiance = jnp.where(hit_ground[..., None], radiance + ground, radiance)
+    return radiance
+
+
+def transmittance_to_sun(params: SkyParams):
+    """Transmittance from the observer toward the sun (for direct sun disk)."""
+    org = vec3(0.0, PLANET_RADIUS + jnp.maximum(params.altitude, 1.0), 0.0)
+    od_r, od_m = _optical_depth_to_sun(org[None, :], params.sun_dir)
+    beta_r = BETA_RAYLEIGH * params.rayleigh_scale
+    beta_me = (BETA_MIE_SCATTER + BETA_MIE_ABSORB) * params.mie_scale
+    tau = beta_r * od_r[0] + beta_me * od_m[0]
+    return jnp.exp(-tau)
+
+
+# ---------------------------------------------------------------------------
+# map baking + CDFs
+# ---------------------------------------------------------------------------
+
+
+class SkyMaps(NamedTuple):
+    """Baked environment state, regenerated only on parameter change."""
+
+    sky_map: jnp.ndarray   # (H, W, 3) radiance
+    sky_cdf: jnp.ndarray   # (H*W,) inclusive luminance CDF
+    sky_flux: jnp.ndarray  # () total luminous flux of the sky map
+    sun_map: jnp.ndarray   # (Sh, Sw, 3) radiance across the sun cone
+    sun_cdf: jnp.ndarray   # (Sh*Sw,)
+    sun_flux: jnp.ndarray  # ()
+    sun_dir: jnp.ndarray   # (3,)
+    sun_basis_t: jnp.ndarray  # (3,) tangent of the sun frame
+    sun_basis_b: jnp.ndarray
+
+
+def bake_sky_maps(params: SkyParams, sky_res=SKY_RES, sun_res=SUN_RES) -> SkyMaps:
+    h, w = sky_res
+    vv, uu = jnp.meshgrid(
+        (jnp.arange(h, dtype=jnp.float32) + 0.5) / h,
+        (jnp.arange(w, dtype=jnp.float32) + 0.5) / w, indexing="ij")
+    dirs = equal_area_uv_to_dir(jnp.stack([uu, vv], axis=-1))
+    sky = atmosphere_radiance(dirs, params)
+    omega = texel_solid_angle(h, w)
+    sky_lum = luminance(sky) * omega
+    sky_cdf, sky_flux = pdf_to_cdf(sky_lum.reshape(-1))
+
+    # --- sun cone map (limb-darkened disk radiance x transmittance) ---
+    sh, sw = sun_res
+    from ..core.vecmath import orthonormal_basis
+    t, bvec = orthonormal_basis(params.sun_dir)
+    sy, sx = jnp.meshgrid(
+        (jnp.arange(sh, dtype=jnp.float32) + 0.5) / sh * 2.0 - 1.0,
+        (jnp.arange(sw, dtype=jnp.float32) + 0.5) / sw * 2.0 - 1.0, indexing="ij")
+    r2 = sx * sx + sy * sy
+    in_disk = r2 <= 1.0
+    # limb darkening I(mu)/I0 = 1 - u(1 - mu), u = 0.6 (standard photometric fit)
+    mu = jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))
+    limb = jnp.where(in_disk, 1.0 - 0.6 * (1.0 - mu), 0.0)
+    trans = transmittance_to_sun(params)
+    # normalize so the disk integrates to sun_intensity-scaled irradiance:
+    # radiance = E_sun / solid_angle_of_disk
+    disk_omega = 2.0 * jnp.pi * (1.0 - SUN_COS_THETA_MAX)
+    sun_rad = (params.sun_intensity / disk_omega) * limb[..., None] * trans
+    # per-texel solid angle: the disk's solid angle spread over its texels
+    sun_texel_omega = disk_omega / jnp.maximum(jnp.sum(in_disk), 1)
+    sun_lum = luminance(sun_rad) * jnp.where(in_disk, sun_texel_omega, 0.0)
+    sun_cdf, sun_flux = pdf_to_cdf(sun_lum.reshape(-1))
+
+    return SkyMaps(sky, sky_cdf, sky_flux, sun_rad, sun_cdf, sun_flux,
+                   params.sun_dir, t, bvec)
+
+
+# ---------------------------------------------------------------------------
+# lookups
+# ---------------------------------------------------------------------------
+
+
+def _bilinear_wrap_u(img, uv):
+    """Bilinear sample with wrap in u, clamp in v.  img (H,W,C), uv (...,2)."""
+    h, w = img.shape[0], img.shape[1]
+    x = uv[..., 0] * w - 0.5
+    y = jnp.clip(uv[..., 1] * h - 0.5, 0.0, h - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    x1i = jnp.mod(x0i + 1, w)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    c00 = img[y0i, x0i]
+    c01 = img[y0i, x1i]
+    c10 = img[y1i, x0i]
+    c11 = img[y1i, x1i]
+    fx = fx[..., None]
+    fy = fy[..., None]
+    return (c00 * (1 - fx) + c01 * fx) * (1 - fy) + (c10 * (1 - fx) + c11 * fx) * fy
+
+
+def sky_radiance(maps: SkyMaps, d):
+    """Environment radiance for escaped rays: sky map + sun disk
+    (analog of GetLightSource / EnvLight2, reference: src/light.cuh:275-305)."""
+    sky = _bilinear_wrap_u(maps.sky_map, dir_to_equal_area_uv(d))
+    # sun disk: project dir into the sun frame
+    cos_g = dot(d, jnp.broadcast_to(maps.sun_dir, d.shape))
+    in_cone = cos_g > SUN_COS_THETA_MAX
+    tx = dot(d, jnp.broadcast_to(maps.sun_basis_t, d.shape))
+    ty = dot(d, jnp.broadcast_to(maps.sun_basis_b, d.shape))
+    scale = 1.0 / jnp.float32(jnp.sin(SUN_ANGULAR_RADIUS))
+    su = (tx * scale + 1.0) * 0.5
+    sv = (ty * scale + 1.0) * 0.5
+    inside_uv = (su >= 0) & (su < 1) & (sv >= 0) & (sv < 1)
+    sun_uv = jnp.stack([jnp.clip(su, 0.0, 1.0), jnp.clip(sv, 0.0, 1.0)], axis=-1)
+    sun = _bilinear_clamp(maps.sun_map, sun_uv)
+    return sky + jnp.where((in_cone & inside_uv)[..., None], sun, 0.0)
+
+
+def _bilinear_clamp(img, uv):
+    h, w = img.shape[0], img.shape[1]
+    x = jnp.clip(uv[..., 0] * w - 0.5, 0.0, w - 1.0)
+    y = jnp.clip(uv[..., 1] * h - 0.5, 0.0, h - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    c00 = img[y0i, x0i]
+    c01 = img[y0i, x1i]
+    c10 = img[y1i, x0i]
+    c11 = img[y1i, x1i]
+    return (c00 * (1 - fx) + c01 * fx) * (1 - fy) + (c10 * (1 - fx) + c11 * fx) * fy

@@ -1,0 +1,22 @@
+"""Test configuration: run everything on a virtual 8-device CPU platform.
+
+Must set env vars before jax initializes (JAX reads XLA_FLAGS at first
+backend use).  Multi-chip sharding tests use the 8 virtual CPU devices;
+numeric tests just use device 0.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
