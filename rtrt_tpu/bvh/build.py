@@ -224,12 +224,14 @@ def build_scene_bvh(v0, v1, v2, valid) -> SceneBvh:
         [tlas_children, blas_children.reshape(b * BLAS_NODES, 2)], axis=0)
 
     sorted_tri_index = (batch_ids * BATCH_SIZE + reorder).reshape(-1)
+    t = b * BATCH_SIZE
+    tris_t = jnp.concatenate(
+        [s_v0.reshape(t, 3).T, s_v1.reshape(t, 3).T, s_v2.reshape(t, 3).T],
+        axis=0)  # (9, T) column-major for in-loop component gathers
     return SceneBvh(
-        flat_boxes=flat_boxes,
-        flat_children=flat_children,
-        tri_v0=s_v0.reshape(-1, 3),
-        tri_v1=s_v1.reshape(-1, 3),
-        tri_v2=s_v2.reshape(-1, 3),
+        boxes_t=flat_boxes.T,
+        children_t=flat_children.T,
+        tris_t=tris_t,
         sorted_tri_index=sorted_tri_index,
         root_lo=root_lo,
         root_hi=root_hi,

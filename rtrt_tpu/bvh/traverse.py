@@ -7,11 +7,11 @@ step in lockstep through a masked `lax.while_loop`:
 
   * every ray holds a packed int32 "current node" + a 16-deep stack pair
     (entry, t) (reference stack: src/traverse.h:9-86);
-  * each iteration does ONE flat gather of a node row (12-float child-AABB
-    pair + 2 packed children — the AABBCompact amortization of
-    src/geometry.cuh:603), a pair slab test, and — when children are leaves —
-    watertight triangle tests INLINE in the same iteration, so leaf entries
-    never consume stack slots or loop trips;
+  * each iteration fetches one node (12-float child-AABB pair + 2 packed
+    children — the AABBCompact amortization of src/geometry.cuh:603) as
+    per-component column gathers, runs a pair slab test, and — when children
+    are leaves — watertight triangle tests INLINE in the same iteration, so
+    leaf entries never consume stack slots or loop trips;
   * pops scan the whole 16-wide t-stack at once and jump straight to the
     topmost non-pruned entry: t-pruned entries are skipped in ZERO iterations
     (the reference pops/skips one per loop, src/traverse.h:88-105);
@@ -33,8 +33,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core.geometry import (RAY_TMIN, make_ray_aux, ray_aabb_pair,
+from ..core.geometry import (RAY_TMIN, make_ray_aux,
                              ray_triangle_watertight)
+from ..core.precision import GAMMA3
 from .types import (BATCH_SIZE, BLAS_NODES, ENTRY_INVALID, STACK_DEPTH,
                     MAX_TRAVERSAL_STEPS, SceneBvh, entry_batch, entry_idx,
                     entry_is_blas, entry_is_leaf)
@@ -49,6 +50,20 @@ class Hit(NamedTuple):
     v: jnp.ndarray        # (N,) barycentric of v2
 
 
+def _sel3(k, x, y, z):
+    """Component select by axis index k in {0,1,2}: all (N,) scalars."""
+    return jnp.where(k == 0, x, jnp.where(k == 1, y, z))
+
+
+# Rays per traversal chunk.  The while_loop's carried state (~190 B/ray with
+# the 16-deep stacks) must stay VMEM-resident: measured per-ray cost is
+# ~0.4 us at 32k rays but ~15 us at 130k rays (state spills to HBM and every
+# node fetch becomes a random HBM access).  Large wavefronts are therefore
+# processed as a sequential lax.map over VMEM-sized chunks — the XLA-level
+# analog of a Pallas grid over ray tiles.
+TRAVERSAL_CHUNK = 32768
+
+
 def intersect_scene(bvh: SceneBvh, org, dir, t_max=None, *, any_hit=False,
                     max_steps=MAX_TRAVERSAL_STEPS) -> Hit:
     """Trace rays against the scene.  org/dir: (N,3); t_max: (N,) or None.
@@ -57,15 +72,106 @@ def intersect_scene(bvh: SceneBvh, org, dir, t_max=None, *, any_hit=False,
     (shadow-ray occlusion; t/tri then report that hit, not the closest).
     """
     n = org.shape[0]
-    aux = make_ray_aux(dir)
-    inv_dir = aux.inv_dir
-    tlas_internal = bvh.tlas_internal
-
     if t_max is None:
         t_max = jnp.full((n,), jnp.inf, jnp.float32)
+    if n <= TRAVERSAL_CHUNK:
+        return _intersect_chunk(bvh, org, dir, t_max, any_hit, max_steps)
+
+    c = TRAVERSAL_CHUNK
+    pad = (-n) % c
+    if pad:
+        org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
+        dir = jnp.concatenate([dir, jnp.tile(jnp.array([[1.0, 0.0, 0.0]],
+                                                       dir.dtype), (pad, 1))])
+        t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)])
+    nc = org.shape[0] // c
+    # unrolled python loop (NOT lax.map/scan: scan-carried chunking measured
+    # 13x slower — the scan body loses VMEM residency of the loop state)
+    parts = [_intersect_chunk(bvh, org[i * c:(i + 1) * c],
+                              dir[i * c:(i + 1) * c],
+                              t_max[i * c:(i + 1) * c], any_hit, max_steps)
+             for i in range(nc)]
+    return Hit(*(jnp.concatenate(f)[:n] for f in zip(*parts)))
+
+
+def _intersect_chunk(bvh: SceneBvh, org, dir, t_max, any_hit,
+                     max_steps) -> Hit:
+    """One VMEM-resident traversal chunk.
+
+    PERF NOTE: the loop body is fully SCALARIZED — every quantity is an (N,)
+    array so all N rays map across the VPU's lanes.  (N,3)-trailing-dim math
+    (concats/permutes of 3-wide minors) measured ~40x slower inside the
+    serial while_loop, so the slab + watertight tests are written in
+    component form and node/triangle fetches are per-component column
+    gathers from the column-major tables (see SceneBvh layout note).
+    """
+    n = org.shape[0]
+    aux = make_ray_aux(dir)
+    tlas_internal = bvh.tlas_internal
+
+    # per-ray loop-invariant scalars
+    ox, oy, oz = org[:, 0], org[:, 1], org[:, 2]
+    ix, iy, iz = aux.inv_dir[:, 0], aux.inv_dir[:, 1], aux.inv_dir[:, 2]
+    kx, ky, kz = aux.kx, aux.ky, aux.kz
+    sx, sy, sz = aux.sx, aux.sy, aux.sz
+    neg_x, neg_y, neg_z = ix < 0.0, iy < 0.0, iz < 0.0
+    far_scale = jnp.float32(1.0 + 2.0 * GAMMA3)
 
     slot = jnp.arange(STACK_DEPTH, dtype=jnp.int32)[None, :]  # (1,D)
     root = jnp.zeros((n,), jnp.int32)  # packed TLAS node 0
+
+    def slab_pair(bc, t_maxv):
+        """Scalarized dual slab test on 12 gathered box components."""
+        def one(lo0, lo1, lo2, hi0, hi1, hi2):
+            nx = jnp.where(neg_x, hi0, lo0)
+            fx = jnp.where(neg_x, lo0, hi0)
+            ny = jnp.where(neg_y, hi1, lo1)
+            fy = jnp.where(neg_y, lo1, hi1)
+            nz = jnp.where(neg_z, hi2, lo2)
+            fz = jnp.where(neg_z, lo2, hi2)
+            tn = jnp.maximum(jnp.maximum((nx - ox) * ix, (ny - oy) * iy),
+                             (nz - oz) * iz)
+            tf = jnp.minimum(jnp.minimum((fx - ox) * ix, (fy - oy) * iy),
+                             (fz - oz) * iz) * far_scale
+            hit = (tn <= tf) & (tf > RAY_TMIN) & (tn < t_maxv)
+            return hit, jnp.maximum(tn, RAY_TMIN)
+
+        hl, tl = one(bc[0], bc[1], bc[2], bc[3], bc[4], bc[5])
+        hr, tr = one(bc[6], bc[7], bc[8], bc[9], bc[10], bc[11])
+        return hl, tl, hr, tr
+
+    def tri_test(tc, t_maxv):
+        """Scalarized watertight Woop-Benthin-Wald test on 9 gathered
+        vertex components."""
+        # translate + permute each vertex into ray space (component selects)
+        def prep(c0, c1, c2):
+            px = c0 - ox
+            py = c1 - oy
+            pz = c2 - oz
+            return (_sel3(kx, px, py, pz), _sel3(ky, px, py, pz),
+                    _sel3(kz, px, py, pz))
+
+        axx, axy, axz = prep(tc[0], tc[1], tc[2])
+        bxx, bxy, bxz = prep(tc[3], tc[4], tc[5])
+        cxx, cxy, cxz = prep(tc[6], tc[7], tc[8])
+        ax = axx - sx * axz
+        ay = axy - sy * axz
+        bx = bxx - sx * bxz
+        by = bxy - sy * bxz
+        cx = cxx - sx * cxz
+        cy = cxy - sy * cxz
+        u = cx * by - cy * bx
+        v = ax * cy - ay * cx
+        w = bx * ay - by * ax
+        same = ((u >= 0) & (v >= 0) & (w >= 0)) | ((u <= 0) & (v <= 0) & (w <= 0))
+        det = u + v + w
+        t_scaled = u * (sz * axz) + v * (sz * bxz) + w * (sz * cxz)
+        ts = t_scaled * jnp.sign(det)
+        absdet = jnp.abs(det)
+        in_range = (ts > RAY_TMIN * absdet) & (ts < t_maxv * absdet)
+        hit = same & (det != 0.0) & in_range
+        inv_det = jnp.where(det != 0.0, 1.0 / det, 0.0)
+        return hit, t_scaled * inv_det, v * inv_det, w * inv_det
 
     init = dict(
         cur=root,
@@ -97,13 +203,14 @@ def intersect_scene(bvh: SceneBvh, org, dir, t_max=None, *, any_hit=False,
         batch = entry_batch(cur)
         row = jnp.where(blas, tlas_internal + batch * BLAS_NODES + idx, idx)
         row = jnp.where(valid, row, 0)
-        boxes = bvh.flat_boxes[row]        # (N,12)
-        children = bvh.flat_children[row]  # (N,2)
+        # per-component column gathers (native lane layout, no transposes)
+        bc = [bvh.boxes_t[k][row] for k in range(12)]
+        le = bvh.children_t[0][row]
+        re = bvh.children_t[1][row]
 
-        hl, tl, hr, tr = ray_aabb_pair(org, inv_dir, boxes, RAY_TMIN, best_t)
+        hl, tl, hr, tr = slab_pair(bc, best_t)
         hl = hl & valid
         hr = hr & valid
-        le, re = children[:, 0], children[:, 1]
         l_leaf = entry_is_leaf(le)
         r_leaf = entry_is_leaf(re)
 
@@ -112,14 +219,13 @@ def intersect_scene(bvh: SceneBvh, org, dir, t_max=None, *, any_hit=False,
             do = chit & cleaf
             tri_idx = entry_batch(child) * BATCH_SIZE + entry_idx(child)
             g = jnp.where(do, tri_idx, 0)
-            th = ray_triangle_watertight(org, aux, bvh.tri_v0[g],
-                                         bvh.tri_v1[g], bvh.tri_v2[g],
-                                         RAY_TMIN, best_t)
-            better = do & th.hit & (th.t < best_t)
-            best_t = jnp.where(better, th.t, best_t)
+            tc = [bvh.tris_t[k][g] for k in range(9)]  # component gathers
+            thit, tt, tu, tv = tri_test(tc, best_t)
+            better = do & thit & (tt < best_t)
+            best_t = jnp.where(better, tt, best_t)
             best_tri = jnp.where(better, tri_idx, best_tri)
-            best_u = jnp.where(better, th.u, best_u)
-            best_v = jnp.where(better, th.v, best_v)
+            best_u = jnp.where(better, tu, best_u)
+            best_v = jnp.where(better, tv, best_v)
 
         # ---- internal children: near-first descent, far pushed ----
         lh = hl & ~l_leaf

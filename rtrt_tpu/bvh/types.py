@@ -77,19 +77,34 @@ class SceneBvh(NamedTuple):
     TLAS internal count = flat_boxes.shape[0] - B*1023.
     """
 
-    flat_boxes: jnp.ndarray      # (tlas_internal + B*1023, 12) f32
-    flat_children: jnp.ndarray   # (tlas_internal + B*1023, 2) i32 packed entries
-    tri_v0: jnp.ndarray          # (B*1024, 3) f32 sorted
-    tri_v1: jnp.ndarray
-    tri_v2: jnp.ndarray
+    # COLUMN-MAJOR tables: leading axis = component, trailing = element.
+    # Inside the serial traversal while_loop, per-component (N,) gathers from
+    # (M,) columns keep everything in the native T(1024) lane layout; row
+    # gathers of (N,12) tiles land components on the 128-lane minor axis and
+    # force a relayout transpose PER slice PER iteration (measured ~40x).
+    boxes_t: jnp.ndarray      # (12, tlas_internal + B*1023) f32 child AABB pair
+    children_t: jnp.ndarray   # (2, tlas_internal + B*1023) i32 packed entries
+    tris_t: jnp.ndarray       # (9, B*1024) f32 sorted [v0x..v2z]
     sorted_tri_index: jnp.ndarray  # (B*1024,) i32: sorted slot -> original tri id
-    root_lo: jnp.ndarray         # (3,) scene AABB
+    root_lo: jnp.ndarray      # (3,) scene AABB
     root_hi: jnp.ndarray
 
     @property
+    def tri_v0(self) -> jnp.ndarray:
+        return self.tris_t[0:3].T
+
+    @property
+    def tri_v1(self) -> jnp.ndarray:
+        return self.tris_t[3:6].T
+
+    @property
+    def tri_v2(self) -> jnp.ndarray:
+        return self.tris_t[6:9].T
+
+    @property
     def num_batches(self) -> int:
-        return self.tri_v0.shape[0] // BATCH_SIZE
+        return self.tris_t.shape[1] // BATCH_SIZE
 
     @property
     def tlas_internal(self) -> int:
-        return self.flat_boxes.shape[0] - self.num_batches * BLAS_NODES
+        return self.boxes_t.shape[1] - self.num_batches * BLAS_NODES

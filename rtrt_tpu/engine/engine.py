@@ -26,6 +26,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+
+def _tpu_available() -> bool:
+    """Packet kernels need a real TPU backend (Pallas); CPU uses the XLA
+    wavefront fallback."""
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
 from ..core.camera import Camera, make_camera
 from ..denoise.pipeline import init_history
 from ..post.exposure import init_exposure_state
@@ -133,7 +142,8 @@ class Engine:
             screen_w=self.settings.render_width,
             screen_h=self.settings.render_height,
             num_batches=self.scene.num_batches,
-            flags=self.flags)
+            flags=self.flags,
+            use_packets=_tpu_available())
         if bucket_h not in self._frame_fns:
             self._frame_fns[bucket_h] = make_frame_fn(static)
         # history buffers are resolution-dependent — reset on switch

@@ -55,6 +55,7 @@ class FrameStatic(NamedTuple):
     num_batches: int
     flags: FeatureFlags
     max_traversal_steps: int = 1024
+    use_packets: bool = True  # Pallas packet kernel (TPU); False = XLA loop
 
 
 def compute_smooth_normals(vertices, indices):
@@ -92,15 +93,16 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
     tv2 = verts[indices[:, 2]].reshape(b, BATCH_SIZE, 3)
     bvh = build_scene_bvh(tv0, tv1, tv2, valid)
 
-    # per-triangle attributes in sorted leaf order
+    # per-triangle attributes in sorted leaf order, packed wide
     sort_idx = bvh.sorted_tri_index
     flat_idx = indices[sort_idx]
     nrm = state.normals
+    tri_nrm_t = jnp.concatenate(
+        [nrm[flat_idx[:, 0]].T, nrm[flat_idx[:, 1]].T,
+         nrm[flat_idx[:, 2]].T], axis=0)  # (9, T) column-major
     scene = SceneData(
         bvh=bvh,
-        tri_n0=nrm[flat_idx[:, 0]],
-        tri_n1=nrm[flat_idx[:, 1]],
-        tri_n2=nrm[flat_idx[:, 2]],
+        tri_nrm_t=tri_nrm_t,
         tri_mat=tri_mat[sort_idx],
         materials=materials,
         sky=sky,
@@ -119,7 +121,8 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
 
     # ---- wavefront path trace ----
     gbuf: GBuffer = path_trace(scene, rays, pixel_ids, frame_idx, prev_basis,
-                               w / h, max_steps=static.max_traversal_steps)
+                               w / h, max_steps=static.max_traversal_steps,
+                               use_packets=static.use_packets)
 
     color = gbuf.color.reshape(h, w, 3)
     albedo = gbuf.albedo.reshape(h, w, 3)

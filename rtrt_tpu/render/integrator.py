@@ -30,7 +30,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..bvh.traverse import SceneBvh, intersect_scene
+from ..bvh.packet import PacketTables, pack_for_packets, packet_intersect
+from ..bvh.traverse import Hit, SceneBvh, intersect_scene
 from ..core.camera import CameraBasis, motion_vector
 from ..core.vecmath import dot, normalize
 from .bsdf import Materials, eval_bsdf, sample_bsdf
@@ -48,9 +49,8 @@ class SceneData(NamedTuple):
     """Everything the integrator needs, in sorted-leaf triangle order."""
 
     bvh: SceneBvh
-    tri_n0: jnp.ndarray   # (T,3) vertex normals (sorted order)
-    tri_n1: jnp.ndarray
-    tri_n2: jnp.ndarray
+    tri_nrm_t: jnp.ndarray  # (9, T) [n0x..n2z] vertex normals, sorted order,
+    # column-major for per-component gathers (see SceneBvh layout note)
     tri_mat: jnp.ndarray  # (T,) i32 material ids (sorted order)
     materials: Materials
     sky: SkyMaps
@@ -71,17 +71,19 @@ class GBuffer(NamedTuple):
 
 
 def _fetch_surface(scene: SceneData, tri, u, v, wo):
-    """Interpolate + orient shading attributes at a hit."""
+    """Interpolate + orient shading attributes at a hit (wide-row gathers)."""
     t = jnp.maximum(tri, 0)
-    n0 = scene.tri_n0[t]
-    n1 = scene.tri_n1[t]
-    n2 = scene.tri_n2[t]
+    nc = [scene.tri_nrm_t[k][t] for k in range(9)]
+    n0 = jnp.stack(nc[0:3], axis=-1)
+    n1 = jnp.stack(nc[3:6], axis=-1)
+    n2 = jnp.stack(nc[6:9], axis=-1)
     w = 1.0 - u - v
     ns = normalize(w[..., None] * n0 + u[..., None] * n1 + v[..., None] * n2)
     # geometric normal for orientation
-    v0 = scene.bvh.tri_v0[t]
-    v1 = scene.bvh.tri_v1[t]
-    v2 = scene.bvh.tri_v2[t]
+    vc = [scene.bvh.tris_t[k][t] for k in range(9)]
+    v0 = jnp.stack(vc[0:3], axis=-1)
+    v1 = jnp.stack(vc[3:6], axis=-1)
+    v2 = jnp.stack(vc[6:9], axis=-1)
     ng = normalize(jnp.cross(v1 - v0, v2 - v0))
     # flip both to the wo side (reference: src/traverse.cuh:192-206)
     flip = jnp.sign(dot(ng, wo))[..., None]
@@ -116,9 +118,14 @@ def _material_at(scene: SceneData, mat, pos, ns, cone_width):
 
 def path_trace(scene: SceneData, rays: Rays, pixel_ids, frame_idx,
                prev_basis: CameraBasis, aspect,
-               max_steps: int = 1024) -> GBuffer:
-    """Trace the full bounce program for all rays; returns the G-buffer."""
+               max_steps: int = 1024, use_packets: bool = True) -> GBuffer:
+    """Trace the full bounce program for all rays; returns the G-buffer.
+
+    use_packets selects the Pallas packet-traversal kernel (TPU hot path);
+    the XLA wavefront loop remains as the portable/CPU fallback.
+    """
     n = rays.org.shape[0]
+    tables = pack_for_packets(scene.bvh) if use_packets else None
     f3 = lambda: jnp.zeros((n, 3), jnp.float32)
 
     state = dict(
@@ -143,7 +150,7 @@ def path_trace(scene: SceneData, rays: Rays, pixel_ids, frame_idx,
 
     for seg in range(SEGMENTS):
         state = _segment(scene, state, pixel_ids, frame_idx, seg, max_steps,
-                         is_last=(seg == SEGMENTS - 1))
+                         is_last=(seg == SEGMENTS - 1), tables=tables)
 
     # demodulated color (reference: albedo decouple at pathtrace.cuh:121)
     safe_albedo = jnp.maximum(state["albedo"], 1e-3)
@@ -157,11 +164,17 @@ def path_trace(scene: SceneData, rays: Rays, pixel_ids, frame_idx,
 
 
 def _segment(scene: SceneData, s, pixel_ids, frame_idx, seg, max_steps,
-             is_last):
+             is_last, tables=None):
     active = ~s["done"]
-    hit = intersect_scene(scene.bvh, s["org"], s["dir"],
-                          jnp.where(s["is_shadow"], s["shadow_tmax"], jnp.inf),
-                          max_steps=max_steps)
+    t_max = jnp.where(s["is_shadow"] | s["done"], 
+                      jnp.where(s["done"], 0.0, s["shadow_tmax"]), jnp.inf)
+    if tables is not None:
+        t, tri, u, v = packet_intersect(tables, s["org"], s["dir"], t_max,
+                                        tlas_internal=scene.bvh.tlas_internal)
+        hit = Hit(t, tri, u, v)
+    else:
+        hit = intersect_scene(scene.bvh, s["org"], s["dir"], t_max,
+                              max_steps=max_steps)
     found = (hit.tri >= 0) & active
 
     # ---------------- shadow-ray resolution ----------------
