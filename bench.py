@@ -1,0 +1,53 @@
+"""Benchmark: ms/frame of the full engine pipeline on real hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the complete per-frame program (two-level LBVH rebuild, 1-spp
+wavefront path trace with packet traversal, SVGF denoise, postprocess,
+quantize) on the demo scene.  `vs_baseline` is the ratio of the reference's
+33.3 ms/frame target (30 FPS north star, BASELINE.json) to our time at the
+same resolution — >1.0 means faster than target.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_W = int(os.environ.get("BENCH_WIDTH", 1920))
+BENCH_H = int(os.environ.get("BENCH_HEIGHT", 1080))
+FRAMES = int(os.environ.get("BENCH_FRAMES", 10))
+
+
+def main():
+    from rtrt_tpu.engine.engine import Engine
+    from rtrt_tpu.utils.config import DynamicResolution, GlobalSettings
+
+    settings = GlobalSettings(
+        render_width=BENCH_W, render_height=BENCH_H, scene="demo",
+        texture_size=256,
+        dynamic_resolution=DynamicResolution(enabled=False))
+    eng = Engine(settings)
+
+    # warmup/compile
+    eng.render_frame(dt=1 / 60)
+    eng.render_frame(dt=1 / 60)
+
+    t0 = time.perf_counter()
+    for _ in range(FRAMES):
+        img = eng.render_frame(dt=1 / 60)
+    ms = (time.perf_counter() - t0) / FRAMES * 1e3
+
+    target_ms = 33.333  # 30 FPS north star @1080p (BASELINE.json)
+    print(json.dumps({
+        "metric": f"ms_per_frame_{eng.render_w}x{eng.render_h}_1spp_denoised",
+        "value": round(ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(target_ms / ms, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -61,21 +61,39 @@ class PacketTables(NamedTuple):
     nodes_f32: jnp.ndarray  # (Mn, 16) box pair + pad
     nodes_i32: jnp.ndarray  # (Mn, 2) packed child entries
     tris_f32: jnp.ndarray   # (T, 16) v0|v1|v2|pad
+    attr_f32: jnp.ndarray   # (T, 12) n0|n1|n2|pad vertex normals
+    attr_i32: jnp.ndarray   # (T, 2) [material id | pad]
 
 
-def pack_for_packets(bvh: SceneBvh) -> PacketTables:
+def pack_for_packets(bvh: SceneBvh, tri_nrm_t=None, tri_mat=None) -> PacketTables:
+    """Swizzle the column-major SceneBvh tables into kernel row layout.
+
+    tri_nrm_t: (9, T) sorted vertex normals; tri_mat: (T,) sorted material
+    ids — both optional (zero/one filled when the caller only traverses).
+    """
     mn = bvh.boxes_t.shape[1]
     t = bvh.tris_t.shape[1]
     nodes_f32 = jnp.concatenate(
         [bvh.boxes_t.T, jnp.zeros((mn, 4), jnp.float32)], axis=1)
     tris_f32 = jnp.concatenate(
         [bvh.tris_t.T, jnp.zeros((t, 7), jnp.float32)], axis=1)
-    return PacketTables(nodes_f32, bvh.children_t.T, tris_f32)
+    if tri_nrm_t is None:
+        attr_f32 = jnp.zeros((t, 12), jnp.float32)
+    else:
+        attr_f32 = jnp.concatenate(
+            [tri_nrm_t.T, jnp.zeros((t, 3), jnp.float32)], axis=1)
+    if tri_mat is None:
+        attr_i32 = jnp.zeros((t, 2), jnp.int32)
+    else:
+        attr_i32 = jnp.stack([tri_mat, jnp.zeros_like(tri_mat)], axis=1)
+    return PacketTables(nodes_f32, bvh.children_t.T, tris_f32, attr_f32,
+                        attr_i32)
 
 
-def _kernel(nodes_f_ref, nodes_i_ref, tris_ref,
+def _kernel(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-            t_out, tri_out, u_out, v_out,
+            t_out, tri_out, u_out, v_out, mat_out,
+            nsx_out, nsy_out, nsz_out, ngx_out, ngy_out, ngz_out,
             *, tlas_internal, any_hit, max_steps):
     ox = ox_ref[0]
     oy = oy_ref[0]
@@ -162,22 +180,25 @@ def _kernel(nodes_f_ref, nodes_i_ref, tris_ref,
         return ok, t_s * inv_det, vv * inv_det, ww * inv_det
 
     def run(stack_ref):
-        best_t0 = t_cap
-        init = (jnp.int32(0),            # sp after pushing root? handled below
-                best_t0,
+        zf = lambda: jnp.zeros(TILE_SHAPE, jnp.float32)
+        init = (jnp.int32(0),
+                t_cap,
                 jnp.full(TILE_SHAPE, -1, jnp.int32),
-                jnp.zeros(TILE_SHAPE, jnp.float32),
-                jnp.zeros(TILE_SHAPE, jnp.float32),
-                jnp.int32(0),            # steps
-                jnp.int32(0))            # cur entry (TLAS root packed = 0)
+                zf(), zf(),                       # u, v
+                jnp.zeros(TILE_SHAPE, jnp.int32),  # mat
+                zf(), zf(), zf(),                  # shading normal
+                zf(), zf(), zf(),                  # geometric normal
+                jnp.int32(0),                      # steps
+                jnp.int32(0))                      # cur (TLAS root packed = 0)
         # cur = 0 is valid (TLAS root); sentinel for "no current" = -1
 
         def cond(s):
-            sp, _, _, _, _, steps, cur = s
+            sp, steps, cur = s[0], s[-2], s[-1]
             return ((sp > 0) | (cur >= 0)) & (steps < max_steps)
 
         def step(s):
-            sp, best_t, tri, uo, vo, steps, cur = s
+            (sp, best_t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz,
+             steps, cur) = s
 
             # pop when no current node
             def pop(sp):
@@ -201,28 +222,56 @@ def _kernel(nodes_f_ref, nodes_i_ref, tris_ref,
             anyl = jnp.any(hl)
             anyr = jnp.any(hr)
 
-            # leaf children: test now (scalar tri row, dense lanes)
-            def maybe_leaf(e, anyhit_flag, best_t, tri, uo, vo):
+            # leaf children: test now (scalar tri row, dense lanes);
+            # surface attributes (shading/geometric normals, material) are
+            # computed AT ACCEPT TIME from scalar rows — the integrator
+            # never gathers per-triangle data again
+            def maybe_leaf(e, anyhit_flag, carry):
                 is_leaf = (e & _LEAF_BIT) != 0
                 do = is_leaf & anyhit_flag
 
                 def yes(args):
-                    best_t, tri, uo, vo = args
+                    (best_t, tri, uo, vo, mat, nsx, nsy, nsz,
+                     ngx, ngy, ngz) = args
                     t_idx = ((e >> _BATCH_SHIFT) & _BATCH_MASK) * BATCH_SIZE \
                         + (e & _IDX_MASK)
                     v = tris_ref[pl.ds(t_idx, 1), :][0]
                     ok, tt, tu, tv = tri_hit(v, best_t)
                     better = ok & (tt < best_t)
+                    # scalar geometric normal (per-triangle constant)
+                    e1x, e1y, e1z = v[3] - v[0], v[4] - v[1], v[5] - v[2]
+                    e2x, e2y, e2z = v[6] - v[0], v[7] - v[1], v[8] - v[2]
+                    gx = e1y * e2z - e1z * e2y
+                    gy = e1z * e2x - e1x * e2z
+                    gz = e1x * e2y - e1y * e2x
+                    gl = jax.lax.rsqrt(
+                        jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-20))
+                    gx, gy, gz = gx * gl, gy * gl, gz * gl
+                    # interpolated shading normal (scalar rows x lane bary)
+                    a = attr_f_ref[pl.ds(t_idx, 1), :][0]
+                    am = attr_i_ref[pl.ds(t_idx, 1), :][0]
+                    tw = 1.0 - tu - tv
+                    inx = tw * a[0] + tu * a[3] + tv * a[6]
+                    iny = tw * a[1] + tu * a[4] + tv * a[7]
+                    inz = tw * a[2] + tu * a[5] + tv * a[8]
                     return (jnp.where(better, tt, best_t),
                             jnp.where(better, t_idx, tri),
                             jnp.where(better, tu, uo),
-                            jnp.where(better, tv, vo))
+                            jnp.where(better, tv, vo),
+                            jnp.where(better, am[0], mat),
+                            jnp.where(better, inx, nsx),
+                            jnp.where(better, iny, nsy),
+                            jnp.where(better, inz, nsz),
+                            jnp.where(better, gx, ngx),
+                            jnp.where(better, gy, ngy),
+                            jnp.where(better, gz, ngz))
 
-                return jax.lax.cond(do, yes, lambda a: a,
-                                    (best_t, tri, uo, vo))
+                return jax.lax.cond(do, yes, lambda a: a, carry)
 
-            best_t, tri, uo, vo = maybe_leaf(le, anyl, best_t, tri, uo, vo)
-            best_t, tri, uo, vo = maybe_leaf(re, anyr, best_t, tri, uo, vo)
+            carry = (best_t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz)
+            carry = maybe_leaf(le, anyl, carry)
+            carry = maybe_leaf(re, anyr, carry)
+            (best_t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz) = carry
 
             l_int = anyl & ((le & _LEAF_BIT) == 0)
             r_int = anyr & ((re & _LEAF_BIT) == 0)
@@ -249,24 +298,44 @@ def _kernel(nodes_f_ref, nodes_i_ref, tris_ref,
                 done = jnp.all((tri >= 0) | (t_cap <= RAY_TMIN))
                 sp = jnp.where(done, 0, sp)
                 nxt = jnp.where(done, jnp.int32(-1), nxt)
-            return (sp, best_t, tri, uo, vo, steps + 1, nxt)
+            return (sp, best_t, tri, uo, vo, mat, nsx, nsy, nsz,
+                    ngx, ngy, ngz, steps + 1, nxt)
 
         out = jax.lax.while_loop(cond, step, init)
-        _, best_t, tri, uo, vo, _, _ = out
+        (_, best_t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz,
+         _, _) = out
         t_out[0] = jnp.where(tri >= 0, best_t, jnp.inf)
         tri_out[0] = tri
         u_out[0] = uo
         v_out[0] = vo
+        mat_out[0] = mat
+        nsx_out[0] = nsx
+        nsy_out[0] = nsy
+        nsz_out[0] = nsz
+        ngx_out[0] = ngx
+        ngy_out[0] = ngy
+        ngz_out[0] = ngz
 
     pl.run_scoped(run, pltpu.SMEM((STACK,), jnp.int32))
 
 
+class PacketHit(NamedTuple):
+    """Packet-kernel result incl. in-kernel surface attributes."""
+
+    t: jnp.ndarray     # (N,) inf on miss
+    tri: jnp.ndarray   # (N,) i32 sorted tri id, -1 on miss
+    u: jnp.ndarray     # (N,) barycentric of v1
+    v: jnp.ndarray     # (N,) barycentric of v2
+    mat: jnp.ndarray   # (N,) i32 material id
+    ns: jnp.ndarray    # (N,3) interpolated shading normal (unnormalized)
+    ng: jnp.ndarray    # (N,3) geometric normal (unit, unoriented)
+
+
 def packet_intersect(tables: PacketTables, org, dir, t_max=None, *,
                      any_hit=False, max_steps=PACKET_MAX_STEPS,
-                     tlas_internal):
+                     tlas_internal) -> PacketHit:
     """Trace (N,3) rays with the packet kernel.  Pads N up to a TILE
-    multiple internally (pad rays carry t_max=0 and terminate instantly).
-    Returns Hit-compatible tuple arrays (t, tri, u, v)."""
+    multiple internally (pad rays carry t_max=0 and terminate instantly)."""
     n0 = org.shape[0]
     if t_max is None:
         t_max = jnp.full((n0,), jnp.inf, jnp.float32)
@@ -293,17 +362,21 @@ def packet_intersect(tables: PacketTables, org, dir, t_max=None, *,
                             memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    out_shapes = [jax.ShapeDtypeStruct((nt, 8, 128), jnp.float32),
-                  jax.ShapeDtypeStruct((nt, 8, 128), jnp.int32),
-                  jax.ShapeDtypeStruct((nt, 8, 128), jnp.float32),
-                  jax.ShapeDtypeStruct((nt, 8, 128), jnp.float32)]
-    t, tri, u, v = pl.pallas_call(
+    f32s = jax.ShapeDtypeStruct((nt, 8, 128), jnp.float32)
+    i32s = jax.ShapeDtypeStruct((nt, 8, 128), jnp.int32)
+    out_shapes = [f32s, i32s, f32s, f32s, i32s,
+                  f32s, f32s, f32s, f32s, f32s, f32s]
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[table_spec, table_spec, table_spec] + [ray_spec] * 7,
-        out_specs=[ray_spec] * 4,
+        in_specs=[table_spec] * 5 + [ray_spec] * 7,
+        out_specs=[ray_spec] * 11,
         out_shape=out_shapes,
     )(tables.nodes_f32, tables.nodes_i32, tables.tris_f32,
+      tables.attr_f32, tables.attr_i32,
       *[c.reshape(nt, 8, 128) for c in comp])
-    return (t.reshape(n)[:n0], tri.reshape(n)[:n0], u.reshape(n)[:n0],
-            v.reshape(n)[:n0])
+    t, tri, u, v, mat, nsx, nsy, nsz, ngx, ngy, ngz = \
+        [o.reshape(n)[:n0] for o in outs]
+    return PacketHit(t, tri, u, v, mat,
+                     jnp.stack([nsx, nsy, nsz], axis=-1),
+                     jnp.stack([ngx, ngy, ngz], axis=-1))

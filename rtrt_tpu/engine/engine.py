@@ -38,7 +38,8 @@ def _tpu_available() -> bool:
 from ..core.camera import Camera, make_camera
 from ..denoise.pipeline import init_history
 from ..post.exposure import init_exposure_state
-from ..render.sky import bake_sky_maps, make_sky_params, sun_direction_from_time
+from ..render.sky import (bake_sky_maps, finalize_sky_maps, make_sky_params,
+                          sun_direction_from_time)
 from ..render.texture import make_soil_textures
 from ..utils.config import (FeatureFlags, GlobalSettings, RenderParams,
                             default_params)
@@ -186,7 +187,7 @@ class Engine:
             sun_intensity=float(sp.sun_intensity),
             rayleigh_scale=float(sp.rayleigh), mie_scale=float(sp.mie),
             mie_g=float(sp.mie_g))
-        self.sky = self._bake_sky(sky_params)
+        self.sky = finalize_sky_maps(self._bake_sky(sky_params))
 
     # ------------------------------------------------------------------
     # per-frame

@@ -29,7 +29,7 @@ from ..denoise.pipeline import DenoiseHistory, denoise
 from ..ops.reduce import segment_sum
 from ..post.pipeline import postprocess
 from ..render.integrator import GBuffer, SceneData, path_trace
-from ..render.raygen import generate_rays, pixel_grid
+from ..render.raygen import generate_rays_padded, pixel_grid
 from ..render.sampling import rand2
 from ..render.sky import SkyMaps
 from ..utils.config import FeatureFlags, RenderParams
@@ -109,27 +109,32 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
         textures=textures,
     )
 
-    # ---- raygen (1 spp) ----
+    # ---- raygen (1 spp), padded once to the packet tile multiple ----
+    # (padding per traversal call costs an async copy of the whole ray
+    # buffer; padding a few dummy rays here is free)
     cam = camera._replace(aperture=params.sample.aperture,
                           focal_dist=params.sample.focal_dist)
     basis = camera_basis(cam)
     prev_basis = camera_basis(prev_camera)
-    _, pixel_ids = pixel_grid(w, h)
+    n_pix = w * h
+    n_pad = -(-n_pix // 1024) * 1024
+    pixel_ids = jnp.minimum(jnp.arange(n_pad, dtype=jnp.int32), n_pix - 1)
     jitter = rand2(pixel_ids, frame_idx, jnp.uint32(0))
     lens = rand2(pixel_ids, frame_idx, jnp.uint32(256))
-    rays = generate_rays(basis, w, h, jitter, lens)
+    rays = generate_rays_padded(basis, w, h, pixel_ids, jitter, lens)
 
     # ---- wavefront path trace ----
     gbuf: GBuffer = path_trace(scene, rays, pixel_ids, frame_idx, prev_basis,
                                w / h, max_steps=static.max_traversal_steps,
-                               use_packets=static.use_packets)
+                               use_packets=static.use_packets,
+                               use_proctex=static.flags.procedural_textures)
 
-    color = gbuf.color.reshape(h, w, 3)
-    albedo = gbuf.albedo.reshape(h, w, 3)
-    normal = gbuf.normal.reshape(h, w, 3)
-    depth = gbuf.depth.reshape(h, w)
-    mat_id = gbuf.mat_id.reshape(h, w)
-    motion = gbuf.motion.reshape(h, w, 2)
+    color = gbuf.color[:n_pix].reshape(h, w, 3)
+    albedo = gbuf.albedo[:n_pix].reshape(h, w, 3)
+    normal = gbuf.normal[:n_pix].reshape(h, w, 3)
+    depth = gbuf.depth[:n_pix].reshape(h, w)
+    mat_id = gbuf.mat_id[:n_pix].reshape(h, w)
+    motion = gbuf.motion[:n_pix].reshape(h, w, 2)
 
     # ---- SVGF denoise ----
     if static.flags.denoise:

@@ -61,16 +61,28 @@ def _pad_batch_count(t: int) -> int:
 
 def build_terrain_scene(settings: GlobalSettings) -> HostScene:
     """Perlin voxel terrain -> marching tetrahedra -> weld -> smooth normals
-    (the reference's init flow, init.cu:82-97)."""
+    (the reference's init flow, init.cu:82-97).
+
+    Uses the native C++ pipeline (content/native.py -> librtrt_native.so)
+    when built; falls back to the numpy twins otherwise."""
+    from ..content import native
+
     world = generate_world(chunks_x=settings.terrain_chunks,
                            chunks_y=max(2, settings.terrain_chunks // 2),
                            chunks_z=settings.terrain_chunks,
                            seed=settings.terrain_seed)
-    v0, v1, v2 = march_tetrahedra(world.density, origin=world_origin(world))
-    vertices, indices = weld_vertices(v0, v1, v2)
+    origin = world_origin(world)
+    if native.available():
+        v0, v1, v2 = native.march_tetrahedra(world.density, origin)
+        vertices, indices = native.weld(v0, v1, v2)
+        normals = native.smooth_normals(vertices, indices)
+    else:
+        v0, v1, v2 = march_tetrahedra(world.density, origin=origin)
+        vertices, indices = weld_vertices(v0, v1, v2)
+        normals = smooth_normals(vertices, indices)
     if indices.shape[0] > MAX_TRIS:
         indices = indices[:MAX_TRIS]
-    normals = smooth_normals(vertices, indices)
+        normals = smooth_normals(vertices, indices)
     tri_mat = np.zeros(indices.shape[0], np.int32)  # terrain material
     return HostScene(vertices=vertices, indices=indices, normals=normals,
                      tri_mat=tri_mat,

@@ -22,11 +22,12 @@ TONE_UNCHARTED2 = 3
 
 
 def reinhard_extended(c, white=4.0):
-    """Luminance-based extended Reinhard."""
+    """Luminance-based extended Reinhard (clamped: inputs beyond the white
+    point would otherwise map above 1)."""
     lum = luminance(c)[..., None]
     num = lum * (1.0 + lum / (white * white))
     mapped = num / (1.0 + lum)
-    return c * (mapped / jnp.maximum(lum, 1e-6))
+    return jnp.clip(c * (mapped / jnp.maximum(lum, 1e-6)), 0.0, 1.0)
 
 
 # ACES fitted (Stephen Hill's RRT+ODT fit): sRGB->ACES-ish input/output mats

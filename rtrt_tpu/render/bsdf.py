@@ -47,6 +47,32 @@ class Materials(NamedTuple):
     textured: jnp.ndarray   # (M,) int32: 1 = triplanar material texture
 
 
+def material_lookup(m: Materials, mat):
+    """Branchless material-table lookup via a static where-chain.
+
+    The table is tiny (a handful of entries), so selecting with M compares
+    per field beats per-lane gathers (expensive on TPU) by a wide margin.
+    Returns (mtype, albedo, roughness, ior, f0, textured).
+    """
+    n = int(m.mtype.shape[0])
+    mtype = jnp.zeros_like(mat)
+    albedo = jnp.zeros(mat.shape + (3,), jnp.float32)
+    rough = jnp.zeros(mat.shape, jnp.float32)
+    ior = jnp.ones(mat.shape, jnp.float32)
+    f0 = jnp.zeros(mat.shape + (3,), jnp.float32)
+    textured = jnp.zeros(mat.shape, bool)
+    for i in range(n):
+        sel = mat == i
+        sel3 = sel[..., None]
+        mtype = jnp.where(sel, m.mtype[i], mtype)
+        albedo = jnp.where(sel3, m.albedo[i], albedo)
+        rough = jnp.where(sel, m.roughness[i], rough)
+        ior = jnp.where(sel, m.ior[i], ior)
+        f0 = jnp.where(sel3, m.f0[i], f0)
+        textured = jnp.where(sel, m.textured[i] != 0, textured)
+    return mtype, albedo, rough, ior, f0, textured
+
+
 def make_materials(entries) -> Materials:
     """entries: list of dicts with keys matching Materials fields."""
     import numpy as np

@@ -20,8 +20,16 @@ TPU-native counterpart of the reference's PathTrace megakernel
     (pathtrace.cuh:121-127);
   * radiance clamped to [0, CLAMP] against fireflies (pathtrace.cuh:108-119).
 
-Everything is branchless over (N,) ray lanes; the whole integrator jits into
-the per-frame XLA program.
+Gather-avoidance design (TPU gathers are ~9 cycles/element):
+  * traversal AND surface attributes (normals, material id) come from the
+    packet kernel (bvh/packet.py) — zero integrator-side per-triangle
+    gathers;
+  * material parameters resolve through a static where-chain
+    (bsdf.material_lookup), textures are analytic procedural noise
+    (render/proctex.py), env sampling uses O(1) alias tables (render/light),
+    and escaped-ray radiance is DEFERRED: each lane records its escape
+    direction and throughput, and ONE analytic atmosphere evaluation runs
+    after the bounce loop instead of per segment.
 """
 
 from __future__ import annotations
@@ -30,16 +38,18 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..bvh.packet import PacketTables, pack_for_packets, packet_intersect
+from ..bvh.packet import PacketHit, pack_for_packets, packet_intersect
 from ..bvh.traverse import Hit, SceneBvh, intersect_scene
 from ..core.camera import CameraBasis, motion_vector
 from ..core.vecmath import dot, normalize
-from .bsdf import Materials, eval_bsdf, sample_bsdf
-from .light import env_light_pdf, env_radiance, sample_env_light
+from .bsdf import Materials, eval_bsdf, material_lookup, sample_bsdf
+from .light import (env_light_pdf, env_radiance, sample_env_light,
+                    sample_sun, sun_pdf_dir)
 from .raygen import Rays
 from .sampling import power_heuristic, rand2
-from .sky import SkyMaps
+from .sky import SkyMaps, env_radiance_analytic
 from .texture import SoilTextures, apply_normal_map, triplanar_sample
+from .proctex import soil_shading
 
 SEGMENTS = 5          # scene intersects per pixel (reference: ~5)
 RADIANCE_CLAMP = 10.0  # reference: pathtrace.cuh:108-119
@@ -49,9 +59,8 @@ class SceneData(NamedTuple):
     """Everything the integrator needs, in sorted-leaf triangle order."""
 
     bvh: SceneBvh
-    tri_nrm_t: jnp.ndarray  # (9, T) [n0x..n2z] vertex normals, sorted order,
-    # column-major for per-component gathers (see SceneBvh layout note)
-    tri_mat: jnp.ndarray  # (T,) i32 material ids (sorted order)
+    tri_nrm_t: jnp.ndarray  # (9, T) [n0x..n2z] vertex normals, sorted order
+    tri_mat: jnp.ndarray    # (T,) i32 material ids (sorted order)
     materials: Materials
     sky: SkyMaps
     textures: SoilTextures
@@ -70,62 +79,68 @@ class GBuffer(NamedTuple):
     mat_id: jnp.ndarray   # (N,) i32 (-1 = sky) — the material mask
 
 
-def _fetch_surface(scene: SceneData, tri, u, v, wo):
-    """Interpolate + orient shading attributes at a hit (wide-row gathers)."""
+def _orient_normals(ns_raw, ng_raw, wo):
+    """Normalize + flip shading/geometric normals to the wo hemisphere
+    (reference: src/traverse.cuh:192-206)."""
+    ng = normalize(ng_raw)
+    ns = normalize(ns_raw)
+    flip = jnp.sign(dot(ng, wo))[..., None]
+    flip = jnp.where(flip == 0.0, 1.0, flip)
+    ng = ng * flip
+    ns = ns * jnp.sign(dot(ns, ng))[..., None]
+    ns = jnp.where(dot(ns, wo)[..., None] > 0.0, ns, ng)
+    return ns, ng
+
+
+def _fetch_surface_fallback(scene: SceneData, tri, u, v, wo):
+    """Column-gather surface fetch for the non-packet (CPU test) path."""
     t = jnp.maximum(tri, 0)
     nc = [scene.tri_nrm_t[k][t] for k in range(9)]
     n0 = jnp.stack(nc[0:3], axis=-1)
     n1 = jnp.stack(nc[3:6], axis=-1)
     n2 = jnp.stack(nc[6:9], axis=-1)
     w = 1.0 - u - v
-    ns = normalize(w[..., None] * n0 + u[..., None] * n1 + v[..., None] * n2)
-    # geometric normal for orientation
+    ns_raw = w[..., None] * n0 + u[..., None] * n1 + v[..., None] * n2
     vc = [scene.bvh.tris_t[k][t] for k in range(9)]
     v0 = jnp.stack(vc[0:3], axis=-1)
     v1 = jnp.stack(vc[3:6], axis=-1)
     v2 = jnp.stack(vc[6:9], axis=-1)
-    ng = normalize(jnp.cross(v1 - v0, v2 - v0))
-    # flip both to the wo side (reference: src/traverse.cuh:192-206)
-    flip = jnp.sign(dot(ng, wo))[..., None]
-    flip = jnp.where(flip == 0.0, 1.0, flip)
-    ng = ng * flip
-    ns = ns * jnp.sign(dot(ns, ng))[..., None]
-    ns = jnp.where(dot(ns, wo)[..., None] > 0.0, ns, ng)
+    ng_raw = jnp.cross(v1 - v0, v2 - v0)
     mat = scene.tri_mat[t]
-    return ns, ng, mat
+    return ns_raw, ng_raw, mat
 
 
-def _material_at(scene: SceneData, mat, pos, ns, cone_width):
-    """Resolve material params, applying triplanar textures where flagged
-    (reference: src/surfaceInteraction.cuh:75-164)."""
-    m = scene.materials
-    mtype = m.mtype[mat]
-    albedo = m.albedo[mat]
-    rough = m.roughness[mat]
-    ior = m.ior[mat]
-    f0 = m.f0[mat]
-    textured = m.textured[mat] != 0
+def _material_at(scene: SceneData, mat, pos, ns, cone_width,
+                 use_proctex: bool):
+    """Resolve material params; textured materials get procedural soil
+    shading (analytic, zero-gather) or the legacy mip/triplanar path."""
+    mtype, albedo, rough, ior, f0, textured = material_lookup(
+        scene.materials, mat)
 
-    tex_a = triplanar_sample(scene.textures.albedo_ao, pos, ns, cone_width)
-    tex_nr = triplanar_sample(scene.textures.normal_rough, pos, ns, cone_width)
-    albedo = jnp.where(textured[..., None],
-                       albedo * tex_a[..., 0:3] * tex_a[..., 3:4], albedo)
-    rough = jnp.where(textured, tex_nr[..., 3], rough)
-    ns2 = jnp.where(textured[..., None],
-                    apply_normal_map(ns, tex_nr[..., 0:3]), ns)
+    if use_proctex:
+        tex_alb, tex_rough, ns_tex = soil_shading(pos, ns, cone_width)
+    else:
+        tex_a = triplanar_sample(scene.textures.albedo_ao, pos, ns, cone_width)
+        tex_nr = triplanar_sample(scene.textures.normal_rough, pos, ns,
+                                  cone_width)
+        tex_alb = tex_a[..., 0:3] * tex_a[..., 3:4]
+        tex_rough = tex_nr[..., 3]
+        ns_tex = apply_normal_map(ns, tex_nr[..., 0:3])
+
+    albedo = jnp.where(textured[..., None], albedo * tex_alb, albedo)
+    rough = jnp.where(textured, tex_rough, rough)
+    ns2 = jnp.where(textured[..., None], ns_tex, ns)
     return mtype, albedo, rough, ior, f0, ns2
 
 
 def path_trace(scene: SceneData, rays: Rays, pixel_ids, frame_idx,
                prev_basis: CameraBasis, aspect,
-               max_steps: int = 1024, use_packets: bool = True) -> GBuffer:
-    """Trace the full bounce program for all rays; returns the G-buffer.
-
-    use_packets selects the Pallas packet-traversal kernel (TPU hot path);
-    the XLA wavefront loop remains as the portable/CPU fallback.
-    """
+               max_steps: int = 1024, use_packets: bool = True,
+               use_proctex: bool = True) -> GBuffer:
+    """Trace the full bounce program for all rays; returns the G-buffer."""
     n = rays.org.shape[0]
-    tables = pack_for_packets(scene.bvh) if use_packets else None
+    tables = pack_for_packets(scene.bvh, scene.tri_nrm_t, scene.tri_mat) \
+        if use_packets else None
     f3 = lambda: jnp.zeros((n, 3), jnp.float32)
 
     state = dict(
@@ -133,13 +148,19 @@ def path_trace(scene: SceneData, rays: Rays, pixel_ids, frame_idx,
         beta=jnp.ones((n, 3), jnp.float32),        # path throughput
         radiance=f3(),
         done=jnp.zeros((n,), bool),
-        is_shadow=jnp.zeros((n,), bool),           # current ray is a shadow ray
-        pending=f3(),                              # contribution if unoccluded
+        is_shadow=jnp.zeros((n,), bool),
+        pending=f3(),                              # shadow contribution
         shadow_tmax=jnp.full((n,), jnp.inf),
-        prev_pdf=jnp.zeros((n,), jnp.float32),     # bsdf pdf of current ray
-        prev_delta=jnp.ones((n,), bool),           # no MIS on primary/delta
-        inside=jnp.zeros((n,), bool),              # inside glass
+        prev_pdf=jnp.zeros((n,), jnp.float32),
+        prev_delta=jnp.ones((n,), bool),
+        inside=jnp.zeros((n,), bool),
         cone=rays.cone_width,
+        # deferred environment escape (evaluated once after the loop)
+        esc_dir=rays.dir,
+        esc_beta=f3(),
+        esc_pdf=jnp.zeros((n,), jnp.float32),
+        esc_delta=jnp.ones((n,), bool),
+        has_esc=jnp.zeros((n,), bool),
         # G-buffer
         albedo=jnp.ones((n, 3), jnp.float32),
         normal=f3(),
@@ -150,29 +171,42 @@ def path_trace(scene: SceneData, rays: Rays, pixel_ids, frame_idx,
 
     for seg in range(SEGMENTS):
         state = _segment(scene, state, pixel_ids, frame_idx, seg, max_steps,
-                         is_last=(seg == SEGMENTS - 1), tables=tables)
+                         is_last=(seg == SEGMENTS - 1), tables=tables,
+                         use_proctex=use_proctex)
+
+    # ---- deferred environment resolve: ONE analytic eval for all lanes ----
+    env = env_radiance_analytic(scene.sky, state["esc_dir"])
+    lpdf = sun_pdf_dir(scene.sky, state["esc_dir"])  # NEE covers sun only
+    w_env = jnp.where(state["esc_delta"], 1.0,
+                      power_heuristic(1.0, state["esc_pdf"], 1.0, lpdf))
+    state["radiance"] = state["radiance"] + jnp.where(
+        state["has_esc"][..., None],
+        state["esc_beta"] * env * w_env[..., None], 0.0)
 
     # demodulated color (reference: albedo decouple at pathtrace.cuh:121)
     safe_albedo = jnp.maximum(state["albedo"], 1e-3)
     color = jnp.clip(state["radiance"], 0.0, RADIANCE_CLAMP) / safe_albedo
 
     mv = motion_vector(prev_basis, rays.uv,
-                       rays.org + rays.dir * jnp.minimum(state["depth"], 1e8)[..., None],
+                       rays.org + rays.dir
+                       * jnp.minimum(state["depth"], 1e8)[..., None],
                        aspect)
     return GBuffer(color=color, albedo=state["albedo"], normal=state["normal"],
                    depth=state["depth"], motion=mv, mat_id=state["mat_id"])
 
 
 def _segment(scene: SceneData, s, pixel_ids, frame_idx, seg, max_steps,
-             is_last, tables=None):
+             is_last, tables=None, use_proctex=True):
     active = ~s["done"]
-    t_max = jnp.where(s["is_shadow"] | s["done"], 
-                      jnp.where(s["done"], 0.0, s["shadow_tmax"]), jnp.inf)
+    t_max = jnp.where(s["done"], 0.0,
+                      jnp.where(s["is_shadow"], s["shadow_tmax"], jnp.inf))
     if tables is not None:
-        t, tri, u, v = packet_intersect(tables, s["org"], s["dir"], t_max,
-                                        tlas_internal=scene.bvh.tlas_internal)
-        hit = Hit(t, tri, u, v)
+        ph: PacketHit = packet_intersect(
+            tables, s["org"], s["dir"], t_max,
+            tlas_internal=scene.bvh.tlas_internal)
+        hit = Hit(ph.t, ph.tri, ph.u, ph.v)
     else:
+        ph = None
         hit = intersect_scene(scene.bvh, s["org"], s["dir"], t_max,
                               max_steps=max_steps)
     found = (hit.tri >= 0) & active
@@ -184,14 +218,13 @@ def _segment(scene: SceneData, s, pixel_ids, frame_idx, seg, max_steps,
                                               s["pending"], 0.0)
     s["done"] = s["done"] | sh  # shadow ray ends the path either way
 
-    # ---------------- escaped scatter rays: env light + MIS ----------------
+    # ---------------- escaped scatter rays: defer env to the end ----------
     esc = active & ~sh & ~(hit.tri >= 0)
-    env = env_radiance(scene.sky, s["dir"])
-    lpdf = env_light_pdf(scene.sky, s["dir"])
-    w_env = jnp.where(s["prev_delta"], 1.0,
-                      power_heuristic(1.0, s["prev_pdf"], 1.0, lpdf))
-    s["radiance"] = s["radiance"] + jnp.where(
-        esc[..., None], s["beta"] * env * w_env[..., None], 0.0)
+    s["esc_dir"] = jnp.where(esc[..., None], s["dir"], s["esc_dir"])
+    s["esc_beta"] = jnp.where(esc[..., None], s["beta"], s["esc_beta"])
+    s["esc_pdf"] = jnp.where(esc, s["prev_pdf"], s["esc_pdf"])
+    s["esc_delta"] = jnp.where(esc, s["prev_delta"], s["esc_delta"])
+    s["has_esc"] = s["has_esc"] | esc
     s["done"] = s["done"] | esc
 
     live = found & ~sh
@@ -202,9 +235,16 @@ def _segment(scene: SceneData, s, pixel_ids, frame_idx, seg, max_steps,
     # ---------------- surface interaction ----------------
     wo = -s["dir"]
     pos = s["org"] + s["dir"] * hit.t[..., None]
-    cone_w = s["cone"] * hit.t  # footprint at the hit
-    ns, ng, mat = _fetch_surface(scene, hit.tri, hit.u, hit.v, wo)
-    mtype, albedo, rough, ior, f0, ns = _material_at(scene, mat, pos, ns, cone_w)
+    cone_w = s["cone"] * hit.t
+    if ph is not None:
+        ns, ng = _orient_normals(ph.ns, ph.ng, wo)
+        mat = ph.mat
+    else:
+        ns_raw, ng_raw, mat = _fetch_surface_fallback(scene, hit.tri, hit.u,
+                                                      hit.v, wo)
+        ns, ng = _orient_normals(ns_raw, ng_raw, wo)
+    mtype, albedo, rough, ior, f0, ns = _material_at(scene, mat, pos, ns,
+                                                     cone_w, use_proctex)
 
     # primary-hit G-buffer capture (reference: pathtrace.cuh:123-127)
     first = live & ~s["got_primary"]
@@ -215,9 +255,7 @@ def _segment(scene: SceneData, s, pixel_ids, frame_idx, seg, max_steps,
                             s["albedo"])
     s["got_primary"] = s["got_primary"] | live
 
-    # decorrelated low-discrepancy dims for this bounce: bsdf pair, light
-    # pair, selection scalar (the reference budgets 16 dims/frame,
-    # pathtrace.cuh:53-62; ours are hash-decorrelated so the budget is free)
+    # low-discrepancy dims for this bounce
     u_bsdf = rand2(pixel_ids, frame_idx, jnp.uint32(2 + 2 * seg))
     u_light = rand2(pixel_ids, frame_idx, jnp.uint32(64 + 2 * seg))
     u_aux = rand2(pixel_ids, frame_idx, jnp.uint32(128 + 2 * seg))
@@ -226,9 +264,8 @@ def _segment(scene: SceneData, s, pixel_ids, frame_idx, seg, max_steps,
     bs = sample_bsdf(mtype, albedo, rough, ior, f0, ns, wo, s["inside"], u_bsdf)
     rough_lane = live & ~bs.is_delta
 
-    # --- light sample + MIS (rough surfaces only) ---
-    ls = sample_env_light(scene.sky, jnp.concatenate(
-        [u_light[..., 0:1], u_light[..., 1:2], u_aux[..., 1:2]], axis=-1))
+    # --- light sample + MIS (rough surfaces only): analytic sun NEE ---
+    ls = sample_sun(scene.sky, u_light)
     f_l, pdf_b_at_l = eval_bsdf(mtype, albedo, rough, f0, ns, wo, ls.wi)
     cos_l = jnp.maximum(dot(ns, ls.wi), 0.0)
     w_l = power_heuristic(1.0, ls.pdf, 1.0, pdf_b_at_l)
@@ -237,7 +274,6 @@ def _segment(scene: SceneData, s, pixel_ids, frame_idx, seg, max_steps,
     c_light = jnp.where((ls.pdf > 1e-8)[..., None], c_light, 0.0)
 
     # --- stochastic single-ray selection (reference trick) ---
-    # probability of taking the shadow ray ~ its relative contribution
     lum = lambda c: jnp.sum(c * jnp.array([0.2126, 0.7152, 0.0722]), axis=-1)
     est_l = lum(c_light)
     est_s = lum(s["beta"] * bs.weight)

@@ -60,11 +60,23 @@ def _sun_uv_to_dir(maps: SkyMaps, uv):
     return normalize(axial[..., None] * maps.sun_dir + sin_a * tang)
 
 
+def _alias_pick(alias_p, alias_j, u1, u2):
+    """O(1) Walker alias sampling: 2 single-element gathers per sample."""
+    n = alias_p.shape[0]
+    k = jnp.clip((u1 * n).astype(jnp.int32), 0, n - 1)
+    accept = u2 < alias_p[k]
+    return jnp.where(accept, k, alias_j[k])
+
+
 def sample_env_light(maps: SkyMaps, u3) -> LightSample:
     """Importance-sample the environment: flux-weighted sky-vs-sun choice,
-    then inverse-CDF texel selection + in-texel jitter.
+    then O(1) alias-table texel selection + in-texel jitter.
 
-    u3: (...,3) uniform randoms (selector, cdf, jitter).
+    Replaces the reference's binary-searched CDF inversion
+    (src/light.cuh:10-31) — on TPU every gathered element is expensive, so
+    the 17-probe searchsorted becomes a 2-gather alias lookup.
+
+    u3: (...,3) uniform randoms (selector, table, accept/jitter).
     """
     h, w = maps.sky_map.shape[0], maps.sky_map.shape[1]
     sh, sw = maps.sun_map.shape[0], maps.sun_map.shape[1]
@@ -72,36 +84,34 @@ def sample_env_light(maps: SkyMaps, u3) -> LightSample:
     p_sun = jnp.where(total > 0, maps.sun_flux / jnp.maximum(total, 1e-20), 0.0)
     pick_sun = u3[..., 0] < p_sun
 
-    # --- sky branch ---
-    sky_idx = _sample_map_cdf(maps.sky_cdf, u3[..., 1])
-    iy = (sky_idx // w).astype(jnp.float32)
-    ix = (sky_idx % w).astype(jnp.float32)
-    # in-texel jitter from a hash of the remaining random
     jx = jnp.mod(u3[..., 2] * 7919.0, 1.0)
     jy = jnp.mod(u3[..., 2] * 104729.0, 1.0)
+    u_accept = jnp.mod(u3[..., 2] * 15485863.0, 1.0)
+
+    # --- sky branch ---
+    sky_idx = _alias_pick(maps.sky_alias_p, maps.sky_alias_j,
+                          u3[..., 1], u_accept)
+    iy = (sky_idx // w).astype(jnp.float32)
+    ix = (sky_idx % w).astype(jnp.float32)
     sky_uv = jnp.stack([(ix + jx) / w, (iy + jy) / h], axis=-1)
     sky_dir = equal_area_uv_to_dir(sky_uv)
     sky_rad = maps.sky_map[(sky_idx // w), (sky_idx % w)]
-    sky_pdf_sa = _texel_prob(maps.sky_cdf, sky_idx) / texel_solid_angle(h, w)
+    sky_pdf_sa = maps.sky_pdf[sky_idx]
 
     # --- sun branch ---
-    sun_idx = _sample_map_cdf(maps.sun_cdf, u3[..., 1])
+    sun_idx = _alias_pick(maps.sun_alias_p, maps.sun_alias_j,
+                          u3[..., 1], u_accept)
     siy = (sun_idx // sw).astype(jnp.float32)
     six = (sun_idx % sw).astype(jnp.float32)
     sun_uv = jnp.stack([(six + jx) / sw, (siy + jy) / sh], axis=-1)
     sun_dir = _sun_uv_to_dir(maps, sun_uv)
     sun_rad = maps.sun_map[(sun_idx // sw), (sun_idx % sw)]
-    disk_omega = 2.0 * jnp.pi * (1.0 - SUN_COS_THETA_MAX)
-    n_disk_texels = jnp.maximum(
-        jnp.sum(luminance(maps.sun_map) > 0.0).astype(jnp.float32), 1.0)
-    sun_texel_omega = disk_omega / n_disk_texels
-    sun_pdf_sa = _texel_prob(maps.sun_cdf, sun_idx) / sun_texel_omega
+    sun_pdf_sa = maps.sun_pdf[sun_idx]
 
     wi = jnp.where(pick_sun[..., None], sun_dir, sky_dir)
     rad = jnp.where(pick_sun[..., None], sun_rad, sky_rad)
-    # mixture pdf (both strategies could produce directions near the sun;
-    # evaluate the chosen branch's pdf weighted by selection probability —
-    # the sky map excludes the sun disk radiance so overlap is negligible)
+    # mixture pdf (the sky map excludes the sun disk radiance so the two
+    # strategies barely overlap)
     pdf = jnp.where(pick_sun, p_sun * sun_pdf_sa, (1.0 - p_sun) * sky_pdf_sa)
     inf = jnp.full(wi.shape[:-1], jnp.inf, jnp.float32)
     return LightSample(wi, rad, jnp.maximum(pdf, 0.0), inf)
@@ -119,7 +129,7 @@ def env_light_pdf(maps: SkyMaps, d):
     ix = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
     iy = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
     idx = iy * w + ix
-    sky_pdf = _texel_prob(maps.sky_cdf, idx) / texel_solid_angle(h, w)
+    sky_pdf = maps.sky_pdf[idx]
 
     # sun contribution only within the cone
     cos_g = dot(d, jnp.broadcast_to(maps.sun_dir, d.shape))
@@ -131,18 +141,50 @@ def env_light_pdf(maps: SkyMaps, d):
     sxi = jnp.clip(((tx + 1.0) * 0.5 * sw).astype(jnp.int32), 0, sw - 1)
     syi = jnp.clip(((ty + 1.0) * 0.5 * sh).astype(jnp.int32), 0, sh - 1)
     sidx = syi * sw + sxi
-    disk_omega = 2.0 * jnp.pi * (1.0 - SUN_COS_THETA_MAX)
-    n_disk_texels = jnp.maximum(
-        jnp.sum(luminance(maps.sun_map) > 0.0).astype(jnp.float32), 1.0)
-    sun_pdf = jnp.where(in_cone,
-                        _texel_prob(maps.sun_cdf, sidx) / (disk_omega / n_disk_texels),
-                        0.0)
+    sun_pdf = jnp.where(in_cone, maps.sun_pdf[sidx], 0.0)
     return (1.0 - p_sun) * sky_pdf + p_sun * sun_pdf
 
 
 def env_radiance(maps: SkyMaps, d):
     """Radiance for escaped rays (GetLightSource analog)."""
     return sky_radiance(maps, d)
+
+
+# ---------------------------------------------------------------------------
+# analytic sun NEE — the integrator's zero-gather light path
+# ---------------------------------------------------------------------------
+
+
+def sample_sun(maps: SkyMaps, u2) -> LightSample:
+    """Uniform-cone sample of the sun disk with fully ANALYTIC radiance and
+    pdf (limb-darkened disk x transmittance; cone pdf in closed form).
+
+    This is the TPU-preferred NEE strategy: the smooth Rayleigh sky is
+    efficiently covered by BSDF sampling + MIS, so next-event estimation
+    only needs the quasi-delta sun — and that requires no table gathers at
+    all (cf. the reference's CDF maps, src/light.cuh:150-213)."""
+    from .sky import sun_disk_radiance
+    cos_max = jnp.float32(SUN_COS_THETA_MAX)
+    local = uniform_cone(u2, cos_max)
+    t, b = maps.sun_basis_t, maps.sun_basis_b
+    wi = normalize(local[..., 0:1] * t + local[..., 1:2] * b
+                   + local[..., 2:3] * maps.sun_dir)
+    rad = sun_disk_radiance(maps, wi)
+    pdf = jnp.broadcast_to(uniform_cone_pdf(cos_max), wi.shape[:-1])
+    inf = jnp.full(wi.shape[:-1], jnp.inf, jnp.float32)
+    # below-horizon sun contributes nothing
+    up = maps.sun_dir[1] > -0.05
+    rad = jnp.where(up, rad, 0.0)
+    return LightSample(wi, rad, pdf, inf)
+
+
+def sun_pdf_dir(maps: SkyMaps, d):
+    """Analytic pdf that `sample_sun` produces direction d (for MIS)."""
+    cos_g = dot(d, jnp.broadcast_to(maps.sun_dir, d.shape))
+    in_cone = cos_g > SUN_COS_THETA_MAX
+    up = maps.sun_dir[1] > -0.05
+    return jnp.where(in_cone & up,
+                     uniform_cone_pdf(jnp.float32(SUN_COS_THETA_MAX)), 0.0)
 
 
 # ---------------------------------------------------------------------------

@@ -60,3 +60,22 @@ def generate_rays(basis: CameraBasis, width: int, height: int,
     # (reference: src/raygen.cuh:45-64)
     cone = jnp.full(d.shape[:-1], 2.0 * basis.tan_half_fov_y / height)
     return Rays(org, d, uv, cone)
+
+
+def generate_rays_padded(basis: CameraBasis, width: int, height: int,
+                         pixel_ids, jitter2, lens2) -> Rays:
+    """Like generate_rays but for a pre-padded pixel-id list (packet tiles):
+    pixel_ids (Np,) int32 (pad entries may repeat the last pixel)."""
+    aspect = width / height
+    px = (pixel_ids % width).astype(jnp.float32) + 0.5
+    py = (pixel_ids // width).astype(jnp.float32) + 0.5
+    uv = (jnp.stack([px, py], axis=-1) + jitter2 - 0.5) \
+        / jnp.array([width, height], jnp.float32)
+    d = pixel_to_dir(basis, uv, aspect)
+    disk = concentric_disk(lens2) * basis.aperture
+    offset = disk[..., 0:1] * basis.right + disk[..., 1:2] * basis.up
+    focal_pt = basis.pos + d * basis.focal_dist
+    org = basis.pos + offset
+    d = normalize(focal_pt - org)
+    cone = jnp.full(d.shape[:-1], 2.0 * basis.tan_half_fov_y / height)
+    return Rays(org, d, uv, cone)

@@ -228,7 +228,13 @@ def transmittance_to_sun(params: SkyParams):
 
 
 class SkyMaps(NamedTuple):
-    """Baked environment state, regenerated only on parameter change."""
+    """Baked environment state, regenerated only on parameter change.
+
+    Includes O(1) Walker alias tables for importance sampling (replacing
+    binary-searched CDF inversion — TPU gathers are expensive, searchsorted
+    costs 17 of them; the alias method costs 2) and per-texel solid-angle
+    PDFs for MIS.  Alias tables are built host-side by
+    `finalize_sky_maps` after the jitted bake."""
 
     sky_map: jnp.ndarray   # (H, W, 3) radiance
     sky_cdf: jnp.ndarray   # (H*W,) inclusive luminance CDF
@@ -239,6 +245,14 @@ class SkyMaps(NamedTuple):
     sun_dir: jnp.ndarray   # (3,)
     sun_basis_t: jnp.ndarray  # (3,) tangent of the sun frame
     sun_basis_b: jnp.ndarray
+    params: SkyParams         # the generating parameters (for analytic eval)
+    sun_trans: jnp.ndarray    # (3,) transmittance toward the sun
+    sky_pdf: jnp.ndarray      # (H*W,) solid-angle pdf per texel
+    sun_pdf: jnp.ndarray      # (Sh*Sw,)
+    sky_alias_p: jnp.ndarray  # (H*W,) alias acceptance probability
+    sky_alias_j: jnp.ndarray  # (H*W,) i32 alias partner
+    sun_alias_p: jnp.ndarray
+    sun_alias_j: jnp.ndarray
 
 
 def bake_sky_maps(params: SkyParams, sky_res=SKY_RES, sun_res=SUN_RES) -> SkyMaps:
@@ -274,8 +288,81 @@ def bake_sky_maps(params: SkyParams, sky_res=SKY_RES, sun_res=SUN_RES) -> SkyMap
     sun_lum = luminance(sun_rad) * jnp.where(in_disk, sun_texel_omega, 0.0)
     sun_cdf, sun_flux = pdf_to_cdf(sun_lum.reshape(-1))
 
+    # per-texel solid-angle pdfs (probability / texel solid angle)
+    sky_w = sky_lum.reshape(-1)
+    sky_pdf = sky_w / jnp.maximum(jnp.sum(sky_w), 1e-20) / omega
+    sun_w = sun_lum.reshape(-1)
+    sun_pdf = sun_w / jnp.maximum(jnp.sum(sun_w), 1e-20) / sun_texel_omega
+
+    zf = lambda k: jnp.zeros((k,), jnp.float32)
+    zi = lambda k: jnp.zeros((k,), jnp.int32)
     return SkyMaps(sky, sky_cdf, sky_flux, sun_rad, sun_cdf, sun_flux,
-                   params.sun_dir, t, bvec)
+                   params.sun_dir, t, bvec, params, trans,
+                   sky_pdf, sun_pdf,
+                   zf(h * w), zi(h * w), zf(sh * sw), zi(sh * sw))
+
+
+def build_alias_table(weights):
+    """Walker/Vose alias method (host-side numpy, O(n)).
+
+    Returns (prob (n,) f32, alias (n,) i32): sample k=floor(u1*n); take k if
+    u2 < prob[k] else alias[k].  Zero-total weights yield uniform."""
+    import numpy as np
+    w = np.asarray(weights, np.float64).copy()
+    n = w.size
+    total = w.sum()
+    if total <= 0:
+        return (np.ones(n, np.float32), np.arange(n, dtype=np.int32))
+    p = w * (n / total)
+    prob = np.ones(n, np.float32)
+    alias = np.arange(n, dtype=np.int32)
+    small = [i for i in range(n) if p[i] < 1.0]
+    large = [i for i in range(n) if p[i] >= 1.0]
+    while small and large:
+        s = small.pop()
+        l = large.pop()
+        prob[s] = p[s]
+        alias[s] = l
+        p[l] = (p[l] + p[s]) - 1.0
+        (small if p[l] < 1.0 else large).append(l)
+    for i in large + small:
+        prob[i] = 1.0
+    return prob, alias
+
+
+def finalize_sky_maps(maps: SkyMaps) -> SkyMaps:
+    """Attach host-built alias tables (call after the jitted bake)."""
+    import numpy as np
+    h, w = maps.sky_map.shape[0], maps.sky_map.shape[1]
+    sky_w = np.maximum(np.asarray(maps.sky_pdf), 0.0)
+    sun_w = np.maximum(np.asarray(maps.sun_pdf), 0.0)
+    sp, sj = build_alias_table(sky_w)
+    up, uj = build_alias_table(sun_w)
+    return maps._replace(sky_alias_p=jnp.asarray(sp),
+                         sky_alias_j=jnp.asarray(sj),
+                         sun_alias_p=jnp.asarray(up),
+                         sun_alias_j=jnp.asarray(uj))
+
+
+def sun_disk_radiance(maps: SkyMaps, d):
+    """Analytic limb-darkened sun disk radiance along dirs (...,3)."""
+    cos_g = dot(d, jnp.broadcast_to(maps.sun_dir, d.shape))
+    in_cone = cos_g > SUN_COS_THETA_MAX
+    sin2 = jnp.maximum(1.0 - cos_g * cos_g, 0.0)
+    sin2_max = 1.0 - SUN_COS_THETA_MAX * SUN_COS_THETA_MAX
+    mu = jnp.sqrt(jnp.maximum(1.0 - sin2 / sin2_max, 0.0))
+    limb = 1.0 - 0.6 * (1.0 - mu)
+    disk_omega = 2.0 * jnp.pi * (1.0 - SUN_COS_THETA_MAX)
+    rad = (maps.params.sun_intensity / disk_omega) * limb[..., None] \
+        * maps.sun_trans
+    return jnp.where(in_cone[..., None], rad, 0.0)
+
+
+def env_radiance_analytic(maps: SkyMaps, d):
+    """Escaped-ray radiance evaluated analytically (raymarch + sun disk) —
+    pure VPU math, no map gathers.  Matches the baked maps by construction
+    (same atmosphere model)."""
+    return atmosphere_radiance(d, maps.params) + sun_disk_radiance(maps, d)
 
 
 # ---------------------------------------------------------------------------

@@ -107,6 +107,7 @@ class FeatureFlags:
     sharpen: bool = True
     dither: bool = True
     textures: bool = True
+    procedural_textures: bool = True  # analytic noise (zero-gather) vs mips
     rebuild_bvh_every_frame: bool = True
 
 

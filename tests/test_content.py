@@ -1,0 +1,202 @@
+"""Tests: content generation (perlin, terrain, marching tetrahedra, weld,
+normals, mesh I/O) + native C++ pipeline parity."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from rtrt_tpu.content import native
+from rtrt_tpu.content.marching import (march_tetrahedra, smooth_normals,
+                                       weld_vertices)
+from rtrt_tpu.content.meshio import (load_mesh, load_obj, save_mesh_cache,
+                                     save_obj)
+from rtrt_tpu.content.perlin import Perlin
+from rtrt_tpu.content.terrain import (BORDER_SENTINEL, generate_world,
+                                      world_origin)
+
+
+def test_perlin_range_and_seed():
+    p = Perlin(3)
+    xs = np.linspace(-5, 5, 64)
+    n = p.noise3(xs, xs * 0.7, xs * 1.3)
+    assert (np.abs(n) <= 1.2).all()
+    assert n.std() > 0.05
+    n2 = Perlin(3).noise3(xs, xs * 0.7, xs * 1.3)
+    np.testing.assert_array_equal(n, n2)
+    n3 = Perlin(4).noise3(xs, xs * 0.7, xs * 1.3)
+    assert not np.allclose(n, n3)
+
+
+def test_perlin_smoothness():
+    p = Perlin(0)
+    a = p.noise3(1.0, 2.0, 3.0)
+    b = p.noise3(1.001, 2.0, 3.0)
+    assert abs(float(a) - float(b)) < 0.01
+
+
+def test_world_generation_and_query():
+    w = generate_world(2, 2, 2, seed=5)
+    assert w.density.shape == (33, 33, 33)
+    assert w.solid.shape == (32, 32, 32)
+    # ground below, air above
+    assert w.solid[:, 0, :].mean() > 0.9
+    assert w.solid[:, -1, :].mean() < 0.1
+    assert w.voxel(-1, 0, 0) == BORDER_SENTINEL
+    assert w.voxel(0, 0, 0) in (0, 1)
+
+
+def _sphere_density(n=24, r=8.0):
+    ax = np.arange(n + 1) - n / 2
+    x, y, z = np.meshgrid(ax, ax, ax, indexing="ij")
+    return (r - np.sqrt(x * x + y * y + z * z)).astype(np.float32)
+
+
+def test_marching_tetrahedra_sphere():
+    d = _sphere_density()
+    v0, v1, v2 = march_tetrahedra(d, origin=(-12, -12, -12))
+    assert v0.shape[0] > 500
+    # all vertices near the r=8 sphere surface
+    for v in (v0, v1, v2):
+        rads = np.linalg.norm(v, axis=-1)
+        assert abs(rads.mean() - 8.0) < 0.2
+        assert rads.std() < 0.3
+    # outward orientation: normals point away from center
+    n = np.cross(v1 - v0, v2 - v0)
+    c = (v0 + v1 + v2) / 3
+    outward = (n * c).sum(-1) > 0
+    assert outward.mean() > 0.99
+
+
+def test_marching_watertight_euler():
+    """Welded isosurface of a sphere must be closed: E = 3V/... use the
+    Euler characteristic V - E + F == 2 for a sphere-topology mesh."""
+    d = _sphere_density(16, 5.5)
+    v0, v1, v2 = march_tetrahedra(d, origin=(-8, -8, -8))
+    verts, faces = weld_vertices(v0, v1, v2, tol=1e-4)
+    edges = set()
+    for (a, b, c) in faces:
+        for e in ((a, b), (b, c), (c, a)):
+            edges.add((min(e), max(e)))
+    euler = len(verts) - len(edges) + len(faces)
+    assert euler == 2
+
+
+def test_weld_dedup():
+    tri = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    v0 = np.stack([tri[0], tri[0]])
+    v1 = np.stack([tri[1], tri[1] + 1e-5])  # within tol
+    v2 = np.stack([tri[2], tri[2]])
+    verts, faces = weld_vertices(v0, v1, v2, tol=1e-3)
+    assert verts.shape[0] == 3
+    assert faces.shape[0] == 2
+
+
+def test_smooth_normals_flat_quad():
+    verts = np.array([[0, 0, 0], [1, 0, 0], [1, 0, 1], [0, 0, 1]], np.float32)
+    faces = np.array([[0, 2, 1], [0, 3, 2]], np.int32)  # CCW seen from +y
+    n = smooth_normals(verts, faces)
+    np.testing.assert_allclose(n, [[0, 1, 0]] * 4, atol=1e-6)
+
+
+def test_obj_roundtrip(tmp_path):
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    path = str(tmp_path / "t.obj")
+    save_obj(path, verts, faces)
+    v2, f2 = load_obj(path)
+    np.testing.assert_allclose(v2, verts, atol=1e-6)
+    np.testing.assert_array_equal(f2, faces)
+
+
+def test_mesh_cache_roundtrip(tmp_path):
+    verts = np.random.default_rng(0).normal(size=(16, 3)).astype(np.float32)
+    faces = np.random.default_rng(1).integers(0, 16, (10, 3)).astype(np.int32)
+    path = str(tmp_path / "m.npz")
+    save_mesh_cache(path, verts, faces)
+    v2, f2 = load_mesh(path)
+    np.testing.assert_allclose(v2, verts)
+    np.testing.assert_array_equal(f2, faces)
+
+
+# ---------------------------------------------------------------------------
+# native C++ pipeline parity
+# ---------------------------------------------------------------------------
+
+needs_native = pytest.mark.skipif(not native.available(),
+                                  reason="librtrt_native.so not built")
+
+
+@needs_native
+def test_native_terrain_matches_python():
+    w = generate_world(2, 2, 2, seed=9)
+    o = world_origin(w)
+    nd = native.terrain_density(32, 32, 32, o, 9, 6.0)
+    # same perlin implementation but different permutation RNG — compare
+    # structure, not values: both must be height-field-like (monotone in y)
+    assert nd.shape == w.density.shape
+    assert (np.diff(nd, axis=1) <= 1.0 + 1e-5).all()  # d decreases with y
+
+
+@needs_native
+def test_native_marching_matches_python_sphere():
+    d = _sphere_density()
+    pv0, pv1, pv2 = march_tetrahedra(d, origin=(-12, -12, -12))
+    nv0, nv1, nv2 = native.march_tetrahedra(d, (-12, -12, -12))
+    assert nv0.shape[0] == pv0.shape[0]
+    # same surface: sorted centroids agree
+    pc = np.sort(((pv0 + pv1 + pv2) / 3).round(4).view("f4").reshape(-1, 3), axis=0)
+    nc = np.sort(((nv0 + nv1 + nv2) / 3).round(4).reshape(-1, 3), axis=0)
+    np.testing.assert_allclose(pc, nc, atol=1e-3)
+
+
+@needs_native
+def test_native_weld_and_normals():
+    d = _sphere_density(16, 5.5)
+    v0, v1, v2 = native.march_tetrahedra(d, (-8, -8, -8))
+    verts, faces = native.weld(v0, v1, v2)
+    pverts, pfaces = weld_vertices(v0, v1, v2)
+    assert verts.shape[0] == pverts.shape[0]
+    assert faces.shape[0] == pfaces.shape[0]
+    n = native.smooth_normals(verts, faces)
+    pn = smooth_normals(verts, faces)
+    np.testing.assert_allclose(n, pn, atol=1e-4)
+
+
+@needs_native
+def test_native_loop_subdivision():
+    # tetrahedron -> each level multiplies faces by 4, converges to smooth
+    verts = np.array([[1, 1, 1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1]],
+                     np.float32)
+    faces = np.array([[0, 1, 2], [0, 3, 1], [0, 2, 3], [1, 3, 2]], np.int32)
+    v2, f2 = native.subdivide_loop(verts, faces, levels=2)
+    assert f2.shape[0] == 4 * 16
+    # subdivided surface shrinks inside the hull
+    assert np.linalg.norm(v2, axis=-1).max() <= np.sqrt(3) + 1e-5
+
+
+@needs_native
+def test_native_morton_sort_improves_locality():
+    rng = np.random.default_rng(2)
+    c = rng.uniform(-10, 10, (512, 3)).astype(np.float32)
+    v0, v1, v2 = c, c + 0.1, c + 0.2
+    s0, s1, s2 = native.morton_sort_tris(v0, v1, v2)
+    # successive centroid distance shrinks vs unsorted
+    def avg_step(v):
+        cc = v
+        return np.linalg.norm(np.diff(cc, axis=0), axis=-1).mean()
+    assert avg_step(s0) < avg_step(v0) * 0.5
+
+
+@needs_native
+def test_native_obj_loader(tmp_path):
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32)
+    path = str(tmp_path / "quad.obj")
+    with open(path, "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        f.write("f 1 2 4 3\n")  # quad -> 2 tris by fanning
+    v2, f2 = native.load_obj(path)
+    assert v2.shape == (4, 3)
+    assert f2.shape == (2, 3)

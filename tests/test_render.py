@@ -1,0 +1,275 @@
+"""Tests: sampling, BSDFs, sky/light, procedural textures."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtrt_tpu.core.vecmath import dot, normalize
+from rtrt_tpu.render import sampling as smp
+from rtrt_tpu.render import bsdf as B
+from rtrt_tpu.render.proctex import soil_shading, value_noise3
+from rtrt_tpu.render.sky import (bake_sky_maps, build_alias_table,
+                                 dir_to_equal_area_uv, equal_area_uv_to_dir,
+                                 env_radiance_analytic, finalize_sky_maps,
+                                 make_sky_params)
+from rtrt_tpu.render.light import env_light_pdf, sample_env_light
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+
+def test_sobol_owen_uniform():
+    """First two moments of the scrambled sequence match U[0,1)."""
+    idx = jnp.arange(1024, dtype=jnp.uint32)
+    pts = np.asarray(smp.sobol_owen_2d(idx, jnp.uint32(12345)))
+    assert pts.shape == (1024, 2)
+    assert (pts >= 0).all() and (pts < 1).all()
+    np.testing.assert_allclose(pts.mean(0), 0.5, atol=0.02)
+    np.testing.assert_allclose(pts.var(0), 1 / 12, atol=0.01)
+
+
+def test_sobol_stratification_beats_white():
+    """LD points must cover strata better than white noise."""
+    idx = jnp.arange(256, dtype=jnp.uint32)
+    ld = np.asarray(smp.sobol_owen_2d(idx, jnp.uint32(7)))
+    # count occupied cells of a 16x16 grid — LD should fill all 256
+    cells = set(map(tuple, (ld * 16).astype(int)))
+    assert len(cells) >= 230  # white noise averages ~162
+
+
+def test_rand2_decorrelated_across_pixels():
+    f = jnp.uint32(3)
+    a = np.asarray(smp.rand2(jnp.uint32(100), f, jnp.uint32(0)))
+    b = np.asarray(smp.rand2(jnp.uint32(101), f, jnp.uint32(0)))
+    assert not np.allclose(a, b)
+
+
+def test_concentric_disk_in_unit_disk(rng):
+    u = jnp.asarray(rng.uniform(0, 1, (512, 2)).astype(np.float32))
+    d = np.asarray(smp.concentric_disk(u))
+    assert (np.linalg.norm(d, axis=-1) <= 1.0 + 1e-6).all()
+
+
+def test_cosine_hemisphere_distribution(rng):
+    u = jnp.asarray(rng.uniform(0, 1, (8192, 2)).astype(np.float32))
+    d = np.asarray(smp.cosine_hemisphere(u))
+    assert (d[:, 2] >= -1e-6).all()
+    # E[cos] for pdf cos/pi is 2/3
+    np.testing.assert_allclose(d[:, 2].mean(), 2 / 3, atol=0.02)
+
+
+def test_power_heuristic_limits():
+    assert float(smp.power_heuristic(1.0, 1.0, 1.0, 0.0)) == 1.0
+    assert abs(float(smp.power_heuristic(1.0, 1.0, 1.0, 1.0)) - 0.5) < 1e-6
+    assert float(smp.power_heuristic(1.0, 0.0, 1.0, 0.0)) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# BSDFs
+# ---------------------------------------------------------------------------
+
+
+def _up_normals(n):
+    return jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
+
+
+def test_lambert_white_furnace(rng):
+    """Integral of f*cos over hemisphere == albedo (energy conservation)."""
+    n = 8192
+    nrm = _up_normals(n)
+    wo = normalize(jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+                   * jnp.array([1, 1, 0]) + jnp.array([0, 0, 1.0]))
+    u = jnp.asarray(rng.uniform(0, 1, (n, 2)).astype(np.float32))
+    mtype = jnp.zeros((n,), jnp.int32)
+    alb = jnp.full((n, 3), 0.7)
+    bs = B.sample_bsdf(mtype, alb, jnp.full((n,), 0.5), jnp.full((n,), 1.5),
+                       jnp.full((n, 3), 0.04), nrm, wo,
+                       jnp.zeros((n,), bool), u)
+    # weight = f cos / pdf; E[weight] = albedo for cosine sampling
+    np.testing.assert_allclose(np.asarray(bs.weight).mean(0), 0.7, atol=0.01)
+    assert not bool(bs.is_delta[0])
+
+
+def test_mirror_reflects():
+    nrm = _up_normals(1)
+    wo = normalize(jnp.array([[0.5, 0.0, 0.8]]))
+    bs = B.sample_bsdf(jnp.array([B.MAT_MIRROR]), jnp.ones((1, 3)),
+                       jnp.zeros((1,)), jnp.ones((1,)), jnp.ones((1, 3)),
+                       nrm, wo, jnp.zeros((1,), bool),
+                       jnp.full((1, 2), 0.3))
+    wi = np.asarray(bs.wi)[0]
+    woh = np.asarray(wo)[0]
+    assert abs(wi[2] - woh[2]) < 1e-5 and abs(wi[0] + woh[0]) < 1e-5
+    assert bool(bs.is_delta[0])
+
+
+def test_glass_energy_split(rng):
+    """Across many stochastic samples, reflect+refract both occur and
+    direction is consistent with Snell for refraction."""
+    n = 4096
+    nrm = _up_normals(n)
+    wo = jnp.tile(normalize(jnp.array([[0.3, 0.0, 0.95]])), (n, 1))
+    u = jnp.asarray(rng.uniform(0, 1, (n, 2)).astype(np.float32))
+    bs = B.sample_bsdf(jnp.full((n,), B.MAT_GLASS), jnp.ones((n, 3)),
+                       jnp.zeros((n,)), jnp.full((n,), 1.5), jnp.ones((n, 3)),
+                       nrm, wo, jnp.zeros((n,), bool), u)
+    wi = np.asarray(bs.wi)
+    refl = wi[:, 2] > 0
+    refr = wi[:, 2] < 0
+    assert refl.any() and refr.any()
+    frac_refl = refl.mean()
+    assert 0.01 < frac_refl < 0.3  # near-normal incidence: mostly transmits
+
+
+def test_ggx_eval_pdf_consistency(rng):
+    """Monte-Carlo: sampling with the GGX sampler and dividing by its pdf
+    integrates D*G*F*cos to ~the same value as uniform-hemisphere MC."""
+    n = 16384
+    nrm = _up_normals(n)
+    wo = jnp.tile(normalize(jnp.array([[0.4, 0.0, 0.9]])), (n, 1))
+    alb = jnp.ones((n, 3))
+    f0 = jnp.full((n, 3), 1.0)
+    rough = jnp.full((n,), 0.5)
+    u = jnp.asarray(rng.uniform(0, 1, (n, 2)).astype(np.float32))
+    # uniform-hemisphere estimate
+    wi_u = smp.uniform_hemisphere(u)
+    f_u, _ = B.eval_bsdf(jnp.full((n,), B.MAT_GGX), alb, rough, f0, nrm, wo, wi_u)
+    cos_u = jnp.maximum(wi_u[:, 2], 0.0)
+    est_u = np.asarray(f_u[:, 0] * cos_u).mean() * 2 * np.pi
+    # importance-sampled estimate
+    bs = B.sample_bsdf(jnp.full((n,), B.MAT_GGX), alb, rough,
+                       jnp.full((n,), 1.5), f0, nrm, wo,
+                       jnp.zeros((n,), bool), u)
+    est_s = np.asarray(bs.weight[:, 0]).mean()
+    np.testing.assert_allclose(est_u, est_s, rtol=0.1)
+
+
+def test_fresnel_dielectric_limits():
+    # normal incidence on glass: ~4%
+    f = float(B.fresnel_dielectric(jnp.asarray(1.0), jnp.asarray(1.5)))
+    assert abs(f - 0.04) < 0.005
+    # grazing: ~1
+    f = float(B.fresnel_dielectric(jnp.asarray(0.01), jnp.asarray(1.5)))
+    assert f > 0.9
+
+
+def test_material_lookup_matches_gather(rng):
+    mats = B.make_materials([
+        dict(mtype=B.MAT_LAMBERT, albedo=(0.5, 0.4, 0.3)),
+        dict(mtype=B.MAT_GGX, albedo=(0.9, 0.7, 0.3), roughness=0.25),
+        dict(mtype=B.MAT_GLASS, ior=1.33),
+    ])
+    ids = jnp.asarray(rng.integers(0, 3, 64).astype(np.int32))
+    mtype, alb, rough, ior, f0, tex = B.material_lookup(mats, ids)
+    np.testing.assert_array_equal(np.asarray(mtype), np.asarray(mats.mtype)[np.asarray(ids)])
+    np.testing.assert_allclose(np.asarray(alb), np.asarray(mats.albedo)[np.asarray(ids)])
+    np.testing.assert_allclose(np.asarray(ior), np.asarray(mats.ior)[np.asarray(ids)])
+
+
+# ---------------------------------------------------------------------------
+# sky + env light
+# ---------------------------------------------------------------------------
+
+
+def test_equal_area_roundtrip(rng):
+    d = normalize(jnp.asarray(rng.normal(size=(256, 3)).astype(np.float32)))
+    d2 = equal_area_uv_to_dir(dir_to_equal_area_uv(d))
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d), atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def sky_maps():
+    params = make_sky_params(sun_elevation=0.6)
+    return finalize_sky_maps(jax.jit(
+        lambda p: bake_sky_maps(p, sky_res=(32, 64), sun_res=(8, 8)))(params))
+
+
+def test_sky_physical_shape(sky_maps):
+    m = np.asarray(sky_maps.sky_map)
+    assert (m >= 0).all() and np.isfinite(m).all()
+    h = m.shape[0]
+    up = m[int(h * 0.9)].mean(axis=(0,))      # high elevation rows
+    horizon = m[int(h * 0.55)].mean(axis=(0,))
+    # sky is blue: B channel dominates up high
+    assert up[2] > up[0]
+    # horizon is brighter than zenith (path length)
+    assert horizon.sum() > up.sum() * 0.8
+
+
+def test_alias_table_distribution(rng):
+    w = rng.uniform(0, 1, 64) ** 3
+    p, a = build_alias_table(w)
+    # Monte-Carlo the alias sampler and compare against the target dist
+    u1 = rng.uniform(0, 1, 200000)
+    u2 = rng.uniform(0, 1, 200000)
+    k = np.minimum((u1 * 64).astype(int), 63)
+    pick = np.where(u2 < p[k], k, a[k])
+    counts = np.bincount(pick, minlength=64) / pick.size
+    np.testing.assert_allclose(counts, w / w.sum(), atol=0.004)
+
+
+def test_env_sampling_pdf_consistency(sky_maps, rng):
+    """sample_env_light's reported pdf must match env_light_pdf at the
+    sampled direction (up to texel discretization)."""
+    n = 2048
+    u3 = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    ls = sample_env_light(sky_maps, u3)
+    pdf2 = env_light_pdf(sky_maps, ls.wi)
+    a = np.asarray(ls.pdf)
+    b = np.asarray(pdf2)
+    ok = np.isclose(a, b, rtol=0.35, atol=1e-5)
+    assert ok.mean() > 0.9  # texel-edge jitter mismatches allowed
+
+
+def test_env_analytic_matches_map(sky_maps, rng):
+    """The analytic escaped-ray radiance must agree with the baked map
+    (same atmosphere model) away from the sun/horizon."""
+    from rtrt_tpu.render.sky import sky_radiance
+    d = normalize(jnp.asarray(rng.normal(size=(128, 3)).astype(np.float32))
+                  + jnp.array([0, 1.5, 0]))
+    ana = np.asarray(env_radiance_analytic(sky_maps, d))
+    mapped = np.asarray(sky_radiance(sky_maps, d))
+    ratio = (ana + 1e-4) / (mapped + 1e-4)
+    assert np.median(ratio) == pytest.approx(1.0, abs=0.25)
+
+
+# ---------------------------------------------------------------------------
+# procedural texture
+# ---------------------------------------------------------------------------
+
+
+def test_value_noise_range_and_determinism(rng):
+    p = jnp.asarray(rng.uniform(-10, 10, (512, 3)).astype(np.float32))
+    n1 = np.asarray(value_noise3(p, 7))
+    n2 = np.asarray(value_noise3(p, 7))
+    assert (n1 >= 0).all() and (n1 <= 1).all()
+    np.testing.assert_array_equal(n1, n2)
+    assert n1.std() > 0.05  # not constant
+
+
+def test_soil_shading_outputs(rng):
+    pos = jnp.asarray(rng.uniform(-20, 20, (256, 3)).astype(np.float32))
+    ns = normalize(jnp.asarray(rng.normal(size=(256, 3)).astype(np.float32)))
+    cone = jnp.full((256,), 0.01)
+    alb, rough, n2 = soil_shading(pos, ns, cone)
+    a = np.asarray(alb)
+    assert (a >= 0).all() and (a <= 1).all()
+    r = np.asarray(rough)
+    assert (r >= 0.05).all() and (r <= 1.0).all()
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(n2), axis=-1), 1.0,
+                               atol=1e-5)
+
+
+def test_soil_lod_fades_detail():
+    """Large cone widths must converge to the noise mean (analytic mip)."""
+    pos = jnp.asarray(np.random.default_rng(0).uniform(-20, 20, (512, 3)).astype(np.float32))
+    ns = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (512, 1))
+    alb_fine, _, _ = soil_shading(pos, ns, jnp.full((512,), 1e-4))
+    alb_coarse, _, _ = soil_shading(pos, ns, jnp.full((512,), 100.0))
+    # spatial variation per channel (not between-channel color variance)
+    fine_std = np.asarray(alb_fine).std(axis=0).mean()
+    coarse_std = np.asarray(alb_coarse).std(axis=0).mean()
+    assert coarse_std < fine_std * 0.1
