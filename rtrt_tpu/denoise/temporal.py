@@ -15,7 +15,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core.color import luminance, rgb_to_ycocg, ycocg_to_rgb
-from ..ops.stencil import bicubic_catmull_rom_sample, neighborhood
+from ..ops.stencil import (bicubic_catmull_rom_sample, bilinear_sample,
+                           neighborhood)
 from ..utils.config import DenoiseParams
 
 
@@ -28,7 +29,7 @@ def _uv_grid(h, w):
 
 def temporal_filter(color, normal, depth, mat_id, motion,
                     hist_color, hist_depth, hist_mat, hist_valid,
-                    p: DenoiseParams):
+                    p: DenoiseParams, bicubic: bool = False):
     """First temporal accumulation pass.
 
     color/normal: (H,W,3); depth: (H,W); mat_id: (H,W) i32; motion: (H,W,2)
@@ -40,8 +41,13 @@ def temporal_filter(color, normal, depth, mat_id, motion,
     uv = _uv_grid(h, w)
     prev_uv = uv + motion
 
-    # --- history fetch: bicubic Catmull-Rom like the reference (:800-812) ---
-    hist = bicubic_catmull_rom_sample(hist_color, prev_uv)
+    # --- history fetch (reference uses bicubic Catmull-Rom :800-812; on TPU
+    # each gather tap costs ~1ms at this resolution, so bilinear's 4 taps
+    # are the default and bicubic is opt-in) ---
+    if bicubic:
+        hist = bicubic_catmull_rom_sample(hist_color, prev_uv)
+    else:
+        hist = bilinear_sample(hist_color, prev_uv)
 
     # --- neighborhood min/max clamp in YCoCg (:702-817) ---
     taps, _ = neighborhood(rgb_to_ycocg(color), 1)  # (9,H,W,3)

@@ -193,8 +193,10 @@ class Engine:
     # per-frame
     # ------------------------------------------------------------------
 
-    def render_frame(self, dt: float | None = None) -> np.ndarray:
-        """Render one frame; returns (screen_h, screen_w, 3) uint8."""
+    def render_frame_device(self, dt: float | None = None):
+        """Render one frame; returns the (screen_h, screen_w, 3) uint8 image
+        as a DEVICE array (synced).  Use this for benchmarking / chaining —
+        the host copy is a separate (and on dev tunnels, slow) step."""
         if dt is None:
             dt = self.timer.update()
         self._update_camera_from_input(dt)
@@ -209,7 +211,12 @@ class Engine:
         self.prev_camera = self.camera
         self._dynamic_resolution_step(dt)
         self.fps_log.maybe_log(self.timer.fps, self.render_w, self.render_h)
-        return np.asarray(image)
+        image.block_until_ready()
+        return image
+
+    def render_frame(self, dt: float | None = None) -> np.ndarray:
+        """Render one frame; returns (screen_h, screen_w, 3) uint8 on host."""
+        return np.asarray(self.render_frame_device(dt))
 
     # ------------------------------------------------------------------
     # input control (reference: src/inputControl.cu:29-113)
