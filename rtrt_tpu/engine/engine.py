@@ -70,10 +70,12 @@ class Engine:
     def __init__(self, settings: GlobalSettings | None = None,
                  flags: FeatureFlags | None = None,
                  scene: HostScene | None = None,
-                 params: RenderParams | None = None):
+                 params: RenderParams | None = None,
+                 animation: str = "none"):
         self.settings = settings or GlobalSettings()
         self.flags = flags or FeatureFlags()
         self.params = params or default_params()
+        self.animation = animation
 
         # ---- content (reference init.cu:82-97) ----
         if scene is not None:
@@ -94,6 +96,7 @@ class Engine:
         self.tri_mat = jnp.asarray(pad["tri_mat"])
         self.valid = jnp.asarray(pad["valid"])
         self.materials = self.scene.materials
+        self.lights = getattr(self.scene, "lights", None)
         self.textures = make_soil_textures(self.settings.texture_size)
 
         # ---- sky (regenerated on param change) ----
@@ -117,6 +120,7 @@ class Engine:
             history=init_history(1, 1),  # re-inited per bucket below
             exposure=init_exposure_state(),
             frame_idx=jnp.uint32(0),
+            time=jnp.float32(0.0),
         )
 
         # ---- resolution buckets ----
@@ -144,7 +148,8 @@ class Engine:
             screen_h=self.settings.render_height,
             num_batches=self.scene.num_batches,
             flags=self.flags,
-            use_packets=_tpu_available())
+            use_packets=_tpu_available(),
+            animation=self.animation)
         if bucket_h not in self._frame_fns:
             self._frame_fns[bucket_h] = make_frame_fn(static)
         # history buffers are resolution-dependent — reset on switch
@@ -205,8 +210,9 @@ class Engine:
         fn = self._frame_fns[self._cur_bucket]
         image, new_state = fn(self.indices, self.tri_mat, self.valid,
                               self.materials, self.textures, self.sky,
-                              self.state, self.camera, self.prev_camera,
-                              self.params, jnp.float32(max(dt, 1e-4)))
+                              self.lights, self.state, self.camera,
+                              self.prev_camera, self.params,
+                              jnp.float32(max(dt, 1e-4)))
         self.state = new_state
         self.prev_camera = self.camera
         self._dynamic_resolution_step(dt)
@@ -289,3 +295,34 @@ class Engine:
                                   pitch=d["pitch"], fov_y=d["fov_y"],
                                   aperture=d["aperture"],
                                   focal_dist=d["focal_dist"])
+
+    # ------------------------------------------------------------------
+    # full-state checkpoint / resume (SURVEY.md §5.4: camera + history
+    # buffers for deterministic replay)
+    # ------------------------------------------------------------------
+
+    def save_state(self, path: str):
+        """Snapshot the device frame state (history buffers, exposure,
+        frame counter, vertices) + camera to an npz checkpoint."""
+        import jax
+        flat, _ = jax.tree_util.tree_flatten(self.state)
+        arrays = {f"s{i}": np.asarray(x) for i, x in enumerate(flat)}
+        c = self.camera
+        arrays["camera"] = np.concatenate(
+            [np.asarray(c.pos),
+             np.asarray([float(c.yaw), float(c.pitch), float(c.fov_y),
+                         float(c.aperture), float(c.focal_dist)])])
+        np.savez_compressed(path, **arrays)
+
+    def load_state(self, path: str):
+        import jax
+        d = np.load(path)
+        flat, treedef = jax.tree_util.tree_flatten(self.state)
+        new_flat = [jnp.asarray(d[f"s{i}"]) for i in range(len(flat))]
+        self.state = jax.tree_util.tree_unflatten(treedef, new_flat)
+        cam = d["camera"]
+        self.camera = make_camera(pos=tuple(cam[:3]), yaw=float(cam[3]),
+                                  pitch=float(cam[4]), fov_y=float(cam[5]),
+                                  aperture=float(cam[6]),
+                                  focal_dist=float(cam[7]))
+        self.prev_camera = self.camera

@@ -43,6 +43,18 @@ class FrameState(NamedTuple):
     history: DenoiseHistory
     exposure: jnp.ndarray      # (4,)
     frame_idx: jnp.ndarray     # () uint32
+    time: jnp.ndarray = None   # () f32 accumulated animation time
+
+
+def displace_wave(vertices, time, amp=0.35, freq=0.5, speed=1.5):
+    """In-jit vertex displacement: traveling waves along y — the analog of
+    the reference's MeshDisplace hook (src/kernel.cu:139-217).  Runs every
+    frame; the two-level LBVH rebuild absorbs the animated geometry."""
+    x = vertices[:, 0]
+    z = vertices[:, 2]
+    dy = amp * jnp.sin(freq * x + time * speed) \
+        * jnp.cos(freq * 0.8 * z + time * 1.1)
+    return vertices.at[:, 1].add(dy)
 
 
 class FrameStatic(NamedTuple):
@@ -56,6 +68,7 @@ class FrameStatic(NamedTuple):
     flags: FeatureFlags
     max_traversal_steps: int = 1024
     use_packets: bool = True  # Pallas packet kernel (TPU); False = XLA loop
+    animation: str = "none"   # none | wave — in-jit vertex displacement
 
 
 def compute_smooth_normals(vertices, indices):
@@ -74,8 +87,9 @@ def compute_smooth_normals(vertices, indices):
 
 
 def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
-                 textures, sky: SkyMaps, state: FrameState, camera: Camera,
-                 prev_camera: Camera, params: RenderParams, dt):
+                 textures, sky: SkyMaps, lights, state: FrameState,
+                 camera: Camera, prev_camera: Camera, params: RenderParams,
+                 dt):
     """One full frame.  Returns (u8 image (screen_h, screen_w, 3), new state).
 
     indices/tri_mat/valid: padded static scene arrays (engine/scene.py);
@@ -88,6 +102,14 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
 
     # ---- geometry gather + two-level LBVH rebuild (bvh.cu:7-97 analog) ----
     verts = state.vertices
+    nrm = state.normals
+    if static.animation == "wave":
+        t_now = (state.time if state.time is not None
+                 else state.frame_idx.astype(jnp.float32) * dt)
+        verts = displace_wave(verts, t_now)
+        # re-derive smooth normals for the displaced surface
+        # (reference recomputes after MeshDisplace, kernel.cu:313-327)
+        nrm = compute_smooth_normals(verts, indices)
     tv0 = verts[indices[:, 0]].reshape(b, BATCH_SIZE, 3)
     tv1 = verts[indices[:, 1]].reshape(b, BATCH_SIZE, 3)
     tv2 = verts[indices[:, 2]].reshape(b, BATCH_SIZE, 3)
@@ -96,7 +118,6 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
     # per-triangle attributes in sorted leaf order, packed wide
     sort_idx = bvh.sorted_tri_index
     flat_idx = indices[sort_idx]
-    nrm = state.normals
     tri_nrm_t = jnp.concatenate(
         [nrm[flat_idx[:, 0]].T, nrm[flat_idx[:, 1]].T,
          nrm[flat_idx[:, 2]].T], axis=0)  # (9, T) column-major
@@ -107,6 +128,7 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
         materials=materials,
         sky=sky,
         textures=textures,
+        lights=lights,
     )
 
     # ---- raygen (1 spp), padded once to the packet tile multiple ----
@@ -168,9 +190,10 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
         image = (ldr * 255.0 + 0.5).astype(jnp.uint8)
         new_exposure = state.exposure
 
+    new_time = (state.time + dt) if state.time is not None else None
     new_state = FrameState(vertices=state.vertices, normals=state.normals,
                            history=new_history, exposure=new_exposure,
-                           frame_idx=frame_idx + 1)
+                           frame_idx=frame_idx + 1, time=new_time)
     return image, new_state
 
 

@@ -33,6 +33,7 @@ class HostScene:
     tri_mat: np.ndarray     # (T0,) i32
     num_batches: int        # padded batch count (>= 2)
     materials: object       # render.bsdf.Materials
+    lights: object = None   # render.light.SphereLights (analytic) or None
 
     @property
     def num_tris(self) -> int:
@@ -164,13 +165,20 @@ def build_demo_scene() -> HostScene:
     add_icosphere((0.0, 1.0, 0.0), 1.0, 3)    # glass
     add_icosphere((2.5, 1.0, 0.0), 1.0, 4)    # GGX gold
 
+    # one analytic local light (the reference's RENDER_SPHERE_LIGHT path)
+    import jax.numpy as jnp
+    from ..render.light import SphereLights
+    lights = SphereLights(center=jnp.array([[0.0, 4.5, -3.0]]),
+                          radius=jnp.array([0.6]),
+                          emission=jnp.array([[40.0, 32.0, 22.0]]))
+
     vertices = np.asarray(vs, np.float32)
     indices = np.asarray(tris, np.int32)
     normals = smooth_normals(vertices, indices)
     return HostScene(vertices=vertices, indices=indices, normals=normals,
                      tri_mat=np.asarray(mats, np.int32),
                      num_batches=_pad_batch_count(indices.shape[0]),
-                     materials=default_materials())
+                     materials=default_materials(), lights=lights)
 
 
 def padded_arrays(scene: HostScene):

@@ -52,7 +52,7 @@ def material_lookup(m: Materials, mat):
 
     The table is tiny (a handful of entries), so selecting with M compares
     per field beats per-lane gathers (expensive on TPU) by a wide margin.
-    Returns (mtype, albedo, roughness, ior, f0, textured).
+    Returns (mtype, albedo, roughness, ior, f0, emission, textured).
     """
     n = int(m.mtype.shape[0])
     mtype = jnp.zeros_like(mat)
@@ -60,6 +60,7 @@ def material_lookup(m: Materials, mat):
     rough = jnp.zeros(mat.shape, jnp.float32)
     ior = jnp.ones(mat.shape, jnp.float32)
     f0 = jnp.zeros(mat.shape + (3,), jnp.float32)
+    emission = jnp.zeros(mat.shape + (3,), jnp.float32)
     textured = jnp.zeros(mat.shape, bool)
     for i in range(n):
         sel = mat == i
@@ -69,8 +70,9 @@ def material_lookup(m: Materials, mat):
         rough = jnp.where(sel, m.roughness[i], rough)
         ior = jnp.where(sel, m.ior[i], ior)
         f0 = jnp.where(sel3, m.f0[i], f0)
+        emission = jnp.where(sel3, m.emission[i], emission)
         textured = jnp.where(sel, m.textured[i] != 0, textured)
-    return mtype, albedo, rough, ior, f0, textured
+    return mtype, albedo, rough, ior, f0, emission, textured
 
 
 def make_materials(entries) -> Materials:

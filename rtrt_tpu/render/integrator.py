@@ -42,9 +42,12 @@ from ..bvh.packet import PacketHit, pack_for_packets, packet_intersect
 from ..bvh.traverse import Hit, SceneBvh, intersect_scene
 from ..core.camera import CameraBasis, motion_vector
 from ..core.vecmath import dot, normalize
-from .bsdf import Materials, eval_bsdf, material_lookup, sample_bsdf
-from .light import (env_light_pdf, env_radiance, sample_env_light,
-                    sample_sun, sun_pdf_dir)
+from .bsdf import (MAT_EMISSIVE, Materials, eval_bsdf, material_lookup,
+                   sample_bsdf)
+from .light import (SphereLights, env_light_pdf, env_radiance,
+                    sample_env_light, sample_sphere_light, sample_sun,
+                    sun_pdf_dir)
+from ..core.geometry import ray_sphere
 from .raygen import Rays
 from .sampling import power_heuristic, rand2
 from .sky import SkyMaps, env_radiance_analytic
@@ -64,6 +67,7 @@ class SceneData(NamedTuple):
     materials: Materials
     sky: SkyMaps
     textures: SoilTextures
+    lights: SphereLights | None = None  # analytic local lights (or None)
 
 
 class GBuffer(NamedTuple):
@@ -77,6 +81,24 @@ class GBuffer(NamedTuple):
     depth: jnp.ndarray    # (N,) view depth (inf = sky)
     motion: jnp.ndarray   # (N,2) uv motion vector
     mat_id: jnp.ndarray   # (N,) i32 (-1 = sky) — the material mask
+
+
+def _sphere_lights_pdf(lights: SphereLights, org, d, t_hit):
+    """Solid-angle pdf that sphere-light NEE generates direction d from org
+    (uniform pick among lights x cone pdf)."""
+    from .sampling import uniform_cone_pdf
+    nl = lights.center.shape[0]
+    pdf = jnp.zeros(d.shape[:-1], jnp.float32)
+    for li in range(nl):
+        to_c = lights.center[li] - org
+        d2 = jnp.maximum(jnp.sum(to_c * to_c, axis=-1), 1e-8)
+        sin2 = jnp.clip(lights.radius[li] ** 2 / d2, 0.0, 0.9999)
+        cos_max = jnp.sqrt(1.0 - sin2)
+        # does d point into this light's cone?
+        cosg = jnp.sum(d * to_c / jnp.sqrt(d2)[..., None], axis=-1)
+        pdf = pdf + jnp.where(cosg > cos_max,
+                              uniform_cone_pdf(cos_max) / nl, 0.0)
+    return pdf
 
 
 def _orient_normals(ns_raw, ng_raw, wo):
@@ -114,7 +136,7 @@ def _material_at(scene: SceneData, mat, pos, ns, cone_width,
                  use_proctex: bool):
     """Resolve material params; textured materials get procedural soil
     shading (analytic, zero-gather) or the legacy mip/triplanar path."""
-    mtype, albedo, rough, ior, f0, textured = material_lookup(
+    mtype, albedo, rough, ior, f0, emission, textured = material_lookup(
         scene.materials, mat)
 
     if use_proctex:
@@ -130,7 +152,7 @@ def _material_at(scene: SceneData, mat, pos, ns, cone_width,
     albedo = jnp.where(textured[..., None], albedo * tex_alb, albedo)
     rough = jnp.where(textured, tex_rough, rough)
     ns2 = jnp.where(textured[..., None], ns_tex, ns)
-    return mtype, albedo, rough, ior, f0, ns2
+    return mtype, albedo, rough, ior, f0, emission, ns2
 
 
 def path_trace(scene: SceneData, rays: Rays, pixel_ids, frame_idx,
@@ -218,6 +240,31 @@ def _segment(scene: SceneData, s, pixel_ids, frame_idx, seg, max_steps,
                                               s["pending"], 0.0)
     s["done"] = s["done"] | sh  # shadow ray ends the path either way
 
+    # ---------------- analytic sphere-light hits (scatter rays) -----------
+    # (reference: RENDER_SPHERE_LIGHT path, src/light.cuh:240-270 — lights
+    # are analytic spheres, tested per segment against the current ray)
+    if scene.lights is not None:
+        nl = scene.lights.center.shape[0]
+        lt = jnp.full(s["dir"].shape[:-1], jnp.inf)
+        lem = jnp.zeros_like(s["beta"])
+        for li in range(nl):
+            hl, tl = ray_sphere(s["org"], s["dir"], scene.lights.center[li],
+                                scene.lights.radius[li])
+            closer = hl & (tl < lt)
+            lt = jnp.where(closer, tl, lt)
+            lem = jnp.where(closer[..., None], scene.lights.emission[li], lem)
+        # light hit counts when nearer than geometry and the ray is a live
+        # scatter ray (shadow rays to the SUN may pass through; sphere-light
+        # NEE uses finite t_max so occlusion semantics stay correct)
+        lhit = active & ~sh & (lt < hit.t)
+        lpdf_sphere = _sphere_lights_pdf(scene.lights, s["org"], s["dir"], lt)
+        w_l = jnp.where(s["prev_delta"], 1.0,
+                        power_heuristic(1.0, s["prev_pdf"], 1.0,
+                                        0.5 * lpdf_sphere))
+        s["radiance"] = s["radiance"] + jnp.where(
+            lhit[..., None], s["beta"] * lem * w_l[..., None], 0.0)
+        s["done"] = s["done"] | lhit
+
     # ---------------- escaped scatter rays: defer env to the end ----------
     esc = active & ~sh & ~(hit.tri >= 0)
     s["esc_dir"] = jnp.where(esc[..., None], s["dir"], s["esc_dir"])
@@ -227,7 +274,7 @@ def _segment(scene: SceneData, s, pixel_ids, frame_idx, seg, max_steps,
     s["has_esc"] = s["has_esc"] | esc
     s["done"] = s["done"] | esc
 
-    live = found & ~sh
+    live = found & ~sh & ~s["done"]
     if is_last:
         s["done"] = s["done"] | live
         return s
@@ -243,8 +290,17 @@ def _segment(scene: SceneData, s, pixel_ids, frame_idx, seg, max_steps,
         ns_raw, ng_raw, mat = _fetch_surface_fallback(scene, hit.tri, hit.u,
                                                       hit.v, wo)
         ns, ng = _orient_normals(ns_raw, ng_raw, wo)
-    mtype, albedo, rough, ior, f0, ns = _material_at(scene, mat, pos, ns,
-                                                     cone_w, use_proctex)
+    mtype, albedo, rough, ior, f0, emission, ns = _material_at(
+        scene, mat, pos, ns, cone_w, use_proctex)
+
+    # emissive surfaces add radiance and terminate (reference: light-source
+    # hits resolve through GetLightSource; NEE never samples mesh emitters so
+    # the weight is 1)
+    emissive = live & (mtype == MAT_EMISSIVE)
+    s["radiance"] = s["radiance"] + jnp.where(
+        emissive[..., None], s["beta"] * emission, 0.0)
+    s["done"] = s["done"] | emissive
+    live = live & ~emissive
 
     # primary-hit G-buffer capture (reference: pathtrace.cuh:123-127)
     first = live & ~s["got_primary"]
@@ -264,8 +320,21 @@ def _segment(scene: SceneData, s, pixel_ids, frame_idx, seg, max_steps,
     bs = sample_bsdf(mtype, albedo, rough, ior, f0, ns, wo, s["inside"], u_bsdf)
     rough_lane = live & ~bs.is_delta
 
-    # --- light sample + MIS (rough surfaces only): analytic sun NEE ---
+    # --- light sample + MIS (rough surfaces only): analytic sun NEE,
+    # 50/50 mixed with sphere-light NEE when local lights exist ---
     ls = sample_sun(scene.sky, u_light)
+    if scene.lights is not None:
+        nl = scene.lights.center.shape[0]
+        pick = rand2(pixel_ids, frame_idx, jnp.uint32(192 + 2 * seg))
+        li = jnp.clip((pick[..., 0] * nl).astype(jnp.int32), 0, nl - 1)
+        lsp = sample_sphere_light(scene.lights, li, pos, u_light)
+        use_sphere = pick[..., 1] < 0.5
+        ls = ls._replace(
+            wi=jnp.where(use_sphere[..., None], lsp.wi, ls.wi),
+            radiance=jnp.where(use_sphere[..., None], lsp.radiance,
+                               ls.radiance),
+            pdf=jnp.where(use_sphere, 0.5 * lsp.pdf / nl, 0.5 * ls.pdf),
+            dist=jnp.where(use_sphere, lsp.dist, ls.dist))
     f_l, pdf_b_at_l = eval_bsdf(mtype, albedo, rough, f0, ns, wo, ls.wi)
     cos_l = jnp.maximum(dot(ns, ls.wi), 0.0)
     w_l = power_heuristic(1.0, ls.pdf, 1.0, pdf_b_at_l)

@@ -163,7 +163,7 @@ def test_material_lookup_matches_gather(rng):
         dict(mtype=B.MAT_GLASS, ior=1.33),
     ])
     ids = jnp.asarray(rng.integers(0, 3, 64).astype(np.int32))
-    mtype, alb, rough, ior, f0, tex = B.material_lookup(mats, ids)
+    mtype, alb, rough, ior, f0, emission, tex = B.material_lookup(mats, ids)
     np.testing.assert_array_equal(np.asarray(mtype), np.asarray(mats.mtype)[np.asarray(ids)])
     np.testing.assert_allclose(np.asarray(alb), np.asarray(mats.albedo)[np.asarray(ids)])
     np.testing.assert_allclose(np.asarray(ior), np.asarray(mats.ior)[np.asarray(ids)])
@@ -273,3 +273,46 @@ def test_soil_lod_fades_detail():
     fine_std = np.asarray(alb_fine).std(axis=0).mean()
     coarse_std = np.asarray(alb_coarse).std(axis=0).mean()
     assert coarse_std < fine_std * 0.1
+
+
+# ---------------------------------------------------------------------------
+# local lights + emissive + animation
+# ---------------------------------------------------------------------------
+
+
+def test_sphere_light_sampling_hits_sphere(rng):
+    from rtrt_tpu.render.light import SphereLights, sample_sphere_light
+    lights = SphereLights(center=jnp.array([[0.0, 5.0, 0.0]]),
+                          radius=jnp.array([1.0]),
+                          emission=jnp.array([[10.0, 10.0, 10.0]]))
+    p = jnp.asarray(rng.uniform(-2, 2, (256, 3)).astype(np.float32))
+    u = jnp.asarray(rng.uniform(0, 1, (256, 2)).astype(np.float32))
+    ls = sample_sphere_light(lights, jnp.zeros((256,), jnp.int32), p, u)
+    # every sampled ray intersects the light sphere
+    from rtrt_tpu.core.geometry import ray_sphere
+    hit, t = ray_sphere(p, ls.wi, jnp.array([0.0, 5.0, 0.0]), jnp.asarray(1.0))
+    assert np.asarray(hit).mean() > 0.98
+    assert (np.asarray(ls.pdf) > 0).all()
+
+
+def test_material_lookup_emission():
+    mats = B.make_materials([
+        dict(mtype=B.MAT_LAMBERT),
+        dict(mtype=B.MAT_EMISSIVE, emission=(5.0, 4.0, 3.0)),
+    ])
+    out = B.material_lookup(mats, jnp.array([0, 1]))
+    emission = out[5]
+    np.testing.assert_allclose(np.asarray(emission),
+                               [[0, 0, 0], [5, 4, 3]], atol=1e-6)
+
+
+def test_wave_displacement():
+    from rtrt_tpu.engine.frame import displace_wave
+    v = jnp.zeros((64, 3))
+    v1 = displace_wave(v, jnp.float32(0.3))
+    v2 = displace_wave(v, jnp.float32(0.9))
+    assert not np.allclose(np.asarray(v1), np.asarray(v2))
+    # only y moves
+    np.testing.assert_array_equal(np.asarray(v1)[:, 0], 0)
+    np.testing.assert_array_equal(np.asarray(v1)[:, 2], 0)
+    assert np.abs(np.asarray(v1)[:, 1]).max() <= 0.36
