@@ -26,13 +26,15 @@ from .temporal import temporal_filter, tile_noise_downsample, tile_noise_level
 class DenoiseHistory(NamedTuple):
     """Persistent history state (the reference's history buffer set:
     HistoryColorBuffer / HistoryColorDepth / material mask copies,
-    temporalDenoising.cuh:142-170)."""
+    temporalDenoising.cuh:142-170) + an accumulated sample count for
+    1/N temporal blending."""
 
     color: jnp.ndarray    # (H,W,3) post-spatial accumulation (pass 1 target)
     color2: jnp.ndarray   # (H,W,3) post-everything accumulation (pass 2)
     depth: jnp.ndarray    # (H,W)
     mat_id: jnp.ndarray   # (H,W) i32
     valid: jnp.ndarray    # () bool — False on the first frame
+    count: jnp.ndarray = None  # (H,W) accumulated samples (disocclusion-reset)
 
 
 def init_history(h: int, w: int) -> DenoiseHistory:
@@ -42,6 +44,7 @@ def init_history(h: int, w: int) -> DenoiseHistory:
         depth=jnp.full((h, w), jnp.inf, jnp.float32),
         mat_id=jnp.full((h, w), -1, jnp.int32),
         valid=jnp.asarray(False),
+        count=jnp.zeros((h, w), jnp.float32),
     )
 
 
@@ -53,13 +56,23 @@ def denoise(color, albedo, normal, depth, mat_id, motion,
     Returns (final_color_with_albedo, new_history).
     """
     c = color
+    new_count = history.count
 
     if flags.temporal_filter:
-        c = temporal_filter(c, normal, depth, mat_id, motion,
-                            history.color, history.depth, history.mat_id,
-                            history.valid, p)
+        c, new_count = temporal_filter(c, normal, depth, mat_id, motion,
+                                       history.color, history.depth,
+                                       history.mat_id, history.valid, p,
+                                       hist_count=history.count)
 
+    # noise estimate decays with accumulation (variance ~ 1/N), restoring
+    # the reference's converged-tiles-skip-filtering behavior
     noise8 = tile_noise_level(c, depth, 8)
+    if flags.temporal_filter:
+        n_tile = jnp.maximum(
+            new_count[:noise8.shape[0] * 8, :noise8.shape[1] * 8]
+            .reshape(noise8.shape[0], 8, noise8.shape[1], 8).mean(axis=(1, 3)),
+            1.0)
+        noise8 = noise8 / n_tile
 
     if flags.spatial_filter:
         c = spatial_filter_7x7(c, normal, depth, mat_id, noise8, p,
@@ -77,12 +90,13 @@ def denoise(color, albedo, normal, depth, mat_id, motion,
     c = c * albedo
 
     if flags.second_temporal:
-        c = temporal_filter(c, normal, depth, mat_id, motion,
-                            history.color2, history.depth, history.mat_id,
-                            history.valid, p)
+        c, _ = temporal_filter(c, normal, depth, mat_id, motion,
+                               history.color2, history.depth,
+                               history.mat_id, history.valid, p,
+                               hist_count=history.count)
     hist_color2 = c
 
     new_history = DenoiseHistory(
         color=hist_color, color2=hist_color2, depth=depth, mat_id=mat_id,
-        valid=jnp.asarray(True))
+        valid=jnp.asarray(True), count=new_count)
     return c, new_history

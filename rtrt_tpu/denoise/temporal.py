@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..core.color import luminance, rgb_to_ycocg, ycocg_to_rgb
 from ..ops.stencil import (bicubic_catmull_rom_sample, bilinear_sample,
-                           neighborhood)
+                           neighborhood, shifted)
 from ..utils.config import DenoiseParams
 
 
@@ -29,25 +29,51 @@ def _uv_grid(h, w):
 
 def temporal_filter(color, normal, depth, mat_id, motion,
                     hist_color, hist_depth, hist_mat, hist_valid,
-                    p: DenoiseParams, bicubic: bool = False):
+                    p: DenoiseParams, bicubic: bool = False,
+                    hist_count=None):
     """First temporal accumulation pass.
 
     color/normal: (H,W,3); depth: (H,W); mat_id: (H,W) i32; motion: (H,W,2)
     uv offsets (prev - cur); hist_*: previous-frame buffers; hist_valid: ()
     bool scalar (False on the first frame).
-    Returns filtered color (H,W,3).
+
+    hist_count: optional (H,W) accumulated sample count — when given, the
+    blend is alpha = max(1/(N+1), temporal_blend) so variance decays like
+    1/N until the cap (proper SVGF accumulation; a fixed EMA never converges
+    below ~alpha/2 of the input variance, which kept the spatial-filter
+    noise gate permanently open).  Returns (filtered, new_count) then;
+    plain filtered otherwise.
     """
     h, w = color.shape[0], color.shape[1]
     uv = _uv_grid(h, w)
     prev_uv = uv + motion
 
-    # --- history fetch (reference uses bicubic Catmull-Rom :800-812; on TPU
-    # each gather tap costs ~1ms at this resolution, so bilinear's 4 taps
-    # are the default and bicubic is opt-in) ---
+    # --- history fetch ---
+    # The reference bicubic-resamples history at uv+motion (:800-812), a
+    # per-pixel gather.  TPU gathers cost ~8.6ns/element (0.4s/frame at
+    # 1080p), so the default is a SHIFT-STENCIL reprojection: for sub-pixel
+    # motion, bilinear resampling == a 3x3 weighted sum of statically
+    # shifted history images (pure fused stencils, zero gathers).  Motion
+    # beyond +-1px rejects history (temporal restart; the 1/N count resets
+    # and the spatial gate reopens — consistent quality under fast motion).
+    # `bicubic=True` selects the full gather path for offline quality.
     if bicubic:
         hist = bicubic_catmull_rom_sample(hist_color, prev_uv)
+        small_motion = jnp.ones(motion.shape[:-1], bool)
     else:
-        hist = bilinear_sample(hist_color, prev_uv)
+        mpx = motion * jnp.array([w, h], jnp.float32)  # pixels (prev - cur)
+        small_motion = (jnp.abs(mpx[..., 0]) <= 1.0) \
+            & (jnp.abs(mpx[..., 1]) <= 1.0)
+        fx = jnp.clip(mpx[..., 0], -1.0, 1.0)
+        fy = jnp.clip(mpx[..., 1], -1.0, 1.0)
+        # separable bilinear weights over shifts {-1, 0, +1}
+        wx = [jnp.maximum(0.0, 1.0 - jnp.abs(fx - s)) for s in (-1.0, 0.0, 1.0)]
+        wy = [jnp.maximum(0.0, 1.0 - jnp.abs(fy - s)) for s in (-1.0, 0.0, 1.0)]
+        hist = 0.0
+        for iy, sy in enumerate((-1, 0, 1)):
+            for ix, sx in enumerate((-1, 0, 1)):
+                wgt = (wy[iy] * wx[ix])[..., None]
+                hist = hist + wgt * shifted(hist_color, sy, sx)
 
     # --- neighborhood min/max clamp in YCoCg (:702-817) ---
     taps, _ = neighborhood(rgb_to_ycocg(color), 1)  # (9,H,W,3)
@@ -62,12 +88,25 @@ def temporal_filter(color, normal, depth, mat_id, motion,
     # --- history validity (:836-851) ---
     in_bounds = ((prev_uv[..., 0] >= 0.0) & (prev_uv[..., 0] <= 1.0)
                  & (prev_uv[..., 1] >= 0.0) & (prev_uv[..., 1] <= 1.0))
-    # material-mask agreement: nearest-texel history id
-    hx = jnp.clip((prev_uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
-    hy = jnp.clip((prev_uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
-    mat_ok = hist_mat[hy, hx] == mat_id
-    # depth agreement (relative)
-    hd = hist_depth[hy, hx]
+    if bicubic:
+        hx = jnp.clip((prev_uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
+        hy = jnp.clip((prev_uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+        hist_mat_s = hist_mat[hy, hx]
+        hd = hist_depth[hy, hx]
+    else:
+        # nearest-shift history mat/depth via the same zero-gather stencils
+        rx = jnp.round(jnp.clip(motion[..., 0] * w, -1, 1)).astype(jnp.int32)
+        ry = jnp.round(jnp.clip(motion[..., 1] * h, -1, 1)).astype(jnp.int32)
+        hist_mat_s = jnp.zeros_like(mat_id)
+        hd = jnp.zeros_like(hist_depth)
+        for sy in (-1, 0, 1):
+            for sx in (-1, 0, 1):
+                sel = (rx == sx) & (ry == sy)
+                hist_mat_s = jnp.where(sel, shifted(hist_mat, sy, sx),
+                                       hist_mat_s)
+                hd = jnp.where(sel, shifted(hist_depth, sy, sx), hd)
+        in_bounds = in_bounds & small_motion
+    mat_ok = hist_mat_s == mat_id
     both_fin = jnp.isfinite(depth) & jnp.isfinite(hd)
     depth_ok = jnp.where(
         both_fin,
@@ -75,7 +114,25 @@ def temporal_filter(color, normal, depth, mat_id, motion,
         ~jnp.isfinite(depth) & ~jnp.isfinite(hd))  # both sky is fine
     ok = in_bounds & mat_ok & depth_ok & hist_valid
 
-    # --- luma-weighted blend (:853-887): darker pixels get more history ---
+    # --- blend ---
+    if hist_count is not None:
+        # reprojected sample count (nearest is fine for count)
+        if bicubic:
+            n_prev = jnp.where(ok, hist_count[hy, hx], 0.0)
+        else:
+            nc = jnp.zeros_like(hist_count)
+            for sy in (-1, 0, 1):
+                for sx in (-1, 0, 1):
+                    sel = (rx == sx) & (ry == sy)
+                    nc = jnp.where(sel, shifted(hist_count, sy, sx), nc)
+            n_prev = jnp.where(ok, nc, 0.0)
+        alpha = jnp.maximum(1.0 / (n_prev + 1.0), p.temporal_blend)
+        alpha = jnp.where(ok, alpha, 1.0)
+        out = color * alpha[..., None] + hist * (1.0 - alpha[..., None])
+        new_count = jnp.minimum(n_prev + 1.0, 1.0 / jnp.maximum(
+            p.temporal_blend, 1e-3))
+        return out, new_count
+    # luma-weighted EMA (:853-887): darker pixels get more history
     blend = jnp.clip(p.temporal_blend
                      * (1.0 + luminance(color) * 0.5), 0.0, 1.0)
     blend = jnp.where(ok, blend, 1.0)[..., None]

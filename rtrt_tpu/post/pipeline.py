@@ -30,8 +30,12 @@ def postprocess(color, exposure_state, dt, sun_uv, sun_visible,
     """
     h, w = color.shape[0], color.shape[1]
 
-    # --- exposure (1/64-res histogram feed, reference DownScale4 x3) ---
-    small = downsample4(downsample4(downsample4(color)))
+    # --- exposure (1/64-res histogram feed, reference DownScale4 x3;
+    # stop early at tiny resolutions so the pyramid never hits zero) ---
+    small = color
+    for _ in range(3):
+        if min(small.shape[0], small.shape[1]) >= 8:
+            small = downsample4(small)
     if flags.auto_exposure:
         exposure_state = auto_exposure(small, exposure_state, dt,
                                        p.exposure_gain)
