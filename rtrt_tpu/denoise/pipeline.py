@@ -68,10 +68,8 @@ def denoise(color, albedo, normal, depth, mat_id, motion,
     # the reference's converged-tiles-skip-filtering behavior
     noise8 = tile_noise_level(c, depth, 8)
     if flags.temporal_filter:
-        n_tile = jnp.maximum(
-            new_count[:noise8.shape[0] * 8, :noise8.shape[1] * 8]
-            .reshape(noise8.shape[0], 8, noise8.shape[1], 8).mean(axis=(1, 3)),
-            1.0)
+        from ..ops.resize import box_pool
+        n_tile = jnp.maximum(box_pool(new_count, 8), 1.0)
         noise8 = noise8 / n_tile
 
     if flags.spatial_filter:

@@ -143,23 +143,21 @@ def tile_noise_level(color, depth, tile: int = 8):
     """Per-tile luminance relative variance, scaled by the non-sky ratio
     (reference: CalculateTileNoiseLevel, temporalDenoising.cuh:33-91).
     Returns (H/tile, W/tile)."""
-    h, w = color.shape[0], color.shape[1]
+    from ..ops.resize import box_pool
     lum = luminance(color)
     not_sky = jnp.isfinite(depth).astype(jnp.float32)
-    th, tw = h // tile, w // tile
-    lt = lum[:th * tile, :tw * tile].reshape(th, tile, tw, tile)
-    st = not_sky[:th * tile, :tw * tile].reshape(th, tile, tw, tile)
-    mean = lt.mean(axis=(1, 3))
-    var = jnp.maximum((lt * lt).mean(axis=(1, 3)) - mean * mean, 0.0)
-    ratio = st.mean(axis=(1, 3))
+    mean = box_pool(lum, tile)
+    meansq = box_pool(lum * lum, tile)
+    var = jnp.maximum(meansq - mean * mean, 0.0)
+    ratio = box_pool(not_sky, tile)
     return var / jnp.maximum(mean * mean, 1e-4) * ratio
 
 
 def tile_noise_downsample(noise):
     """8x8 -> 16x16 tile noise (2x2 average)
     (reference: TileNoiseLevel8x8to16x16, :93-102)."""
-    h, w = noise.shape
-    return noise[:h - h % 2, :w - w % 2].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    from ..ops.resize import box_pool
+    return box_pool(noise, 2)
 
 
 def noise_level_visualize(img, noise, threshold, tile: int = 8):

@@ -9,22 +9,32 @@ straight onto the VPU.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .stencil import bicubic_catmull_rom_sample
 
 
+def box_pool(img, k: int):
+    """k x k mean pool via lax.reduce_window (layout-friendly: the
+    reshape-to-(H/k,k,W/k,k) formulation forces a hostile tiling that
+    XLA propagates across the whole image pipeline — measured ~0.9s of
+    relayout copies per 1080p frame)."""
+    h, w = (img.shape[0] // k) * k, (img.shape[1] // k) * k
+    x = img[:h, :w]
+    dims = (k, k) + (1,) * (img.ndim - 2)
+    out = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, dims, "VALID")
+    return out / (k * k)
+
+
 def downsample2(img):
     """2x2 box average; (H,W,C)->(H/2,W/2,C) (truncates odd edges)."""
-    h, w = img.shape[0] & ~1, img.shape[1] & ~1
-    x = img[:h, :w]
-    return x.reshape(h // 2, 2, w // 2, 2, -1).mean(axis=(1, 3)) \
-        if img.ndim == 3 else x.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    return box_pool(img, 2)
 
 
 def downsample4(img):
     """4x4 box average — the reference's DownScale4 unit."""
-    return downsample2(downsample2(img))
+    return box_pool(img, 4)
 
 
 def upscale_catmull_rom(img, out_h: int, out_w: int):

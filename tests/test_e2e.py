@@ -94,3 +94,25 @@ def test_temporal_chain_converges(frame_setup):
     # later frames differ less than the first pair (accumulation works)
     assert diffs[-1] <= diffs[0] + 1e-6
     assert diffs[-1] < 12.0
+
+
+def test_golden_image(frame_setup):
+    """Pin the first demo frame against the repo's golden PNG (SSIM).
+
+    The reference pins PPM dumps for offline diffing (DUMP_FRAME_NUM);
+    SSIM >= 0.98 is BASELINE.json's image metric.  Guards cross-round
+    regressions of the whole pipeline on the portable path.
+    """
+    import os
+    from rtrt_tpu.utils.image import read_png
+    from rtrt_tpu.utils.ssim import ssim
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "demo_96x54_frame0.png")
+    if not os.path.exists(path):
+        pytest.skip("golden image not generated")
+    fn, args, _ = frame_setup
+    img, _ = fn(*args)
+    golden = read_png(path)
+    s = ssim(np.asarray(img).astype(np.float64),
+             golden.astype(np.float64))
+    assert s >= 0.98, f"SSIM vs golden = {s:.4f}"
