@@ -39,7 +39,12 @@ def test_packet_matches_wavefront(rng):
     org = jnp.asarray(rng.uniform(-12, 12, (n, 3)).astype(np.float32))
     dirs = normalize(jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)))
 
-    tables = jax.jit(pack_for_packets)(bvh)
+    # per-vertex normals: constant up — interpolation must return it exactly
+    t_count = bvh.tris_t.shape[1]
+    up = np.tile(np.array([[0.0, 1.0, 0.0]], np.float32), (t_count, 1)).T
+    tri_nrm_t = jnp.asarray(np.concatenate([up, up, up], axis=0))
+    tri_mat = jnp.asarray((np.arange(t_count) % 5).astype(np.int32))
+    tables = jax.jit(pack_for_packets)(bvh, tri_nrm_t, tri_mat)
     ph = jax.jit(lambda t, o, d: packet_intersect(
         t, o, d, tlas_internal=bvh.tlas_internal))(tables, org, dirs)
     wf = jax.jit(lambda b, o, d: intersect_scene(b, o, d, max_steps=16384))(
@@ -49,10 +54,13 @@ def test_packet_matches_wavefront(rng):
     assert (np.isfinite(pt) == np.isfinite(wt)).mean() > 0.999
     m = np.isfinite(pt) & np.isfinite(wt)
     np.testing.assert_allclose(pt[m], wt[m], rtol=1e-4, atol=1e-4)
-    # in-kernel surface attributes: unit-ish normals at hits
+    # in-kernel surface attributes: interpolated normal == the constant up
     ns = np.asarray(ph.ns)[m]
-    norms = np.linalg.norm(ns, axis=-1)
-    assert (norms > 0.1).all()  # interpolated, unnormalized but nonzero
+    np.testing.assert_allclose(ns, [[0, 1, 0]] * ns.shape[0], atol=1e-4)
+    # material ids round-trip through the kernel
+    mats = np.asarray(ph.mat)[m]
+    tris = np.asarray(ph.tri)[m]
+    np.testing.assert_array_equal(mats, tris % 5)
 
 
 @needs_tpu
