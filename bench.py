@@ -22,6 +22,17 @@ FRAMES = int(os.environ.get("BENCH_FRAMES", 10))
 
 
 def main():
+    # persistent compilation cache: the 1080p frame program takes ~6 min to
+    # compile cold; cached runs start in seconds
+    import jax
+    cache_dir = os.environ.get("JAX_CACHE_DIR",
+                               os.path.expanduser("~/.cache/rtrt_jax"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     from rtrt_tpu.engine.engine import Engine
     from rtrt_tpu.utils.config import DynamicResolution, GlobalSettings
 
