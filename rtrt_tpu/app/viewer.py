@@ -69,8 +69,11 @@ class ViewerServer:
 
     def _render_loop(self):
         from ..utils.image import write_png
+        min_dt = 1.0 / max(self.engine.settings.frame_cap_fps, 1.0)
         while self._running:
-            img = self.engine.render_frame()
+            self.engine.timer.update_with_limiter(min_dt)  # 75-fps cap analog
+            img = self.engine.render_frame(dt=max(self.engine.timer.delta,
+                                                  1e-3))
             buf = io.BytesIO()
             # write_png wants a path; reuse its encoder via a temp buffer
             import numpy as np

@@ -291,3 +291,40 @@ def test_camera_json_roundtrip(tmp_path):
                        focal_dist=d["focal_dist"])
     np.testing.assert_allclose(np.asarray(cam2.pos), np.asarray(cam.pos))
     assert float(cam2.focal_dist) == 7.5
+
+
+# ---------------------------------------------------------------------------
+# dynamic-resolution controller (host logic, no rendering)
+# ---------------------------------------------------------------------------
+
+
+def test_dynamic_resolution_controller():
+    from rtrt_tpu.engine import engine as E
+
+    class FakeEngine:
+        _BUCKETS = E._BUCKET_HEIGHTS
+        def __init__(self):
+            from rtrt_tpu.utils.config import (DynamicResolution,
+                                               GlobalSettings)
+            self.settings = GlobalSettings(
+                render_height=1080,
+                dynamic_resolution=DynamicResolution(
+                    enabled=True, target_fps=60.0, deadband_fps=2.0))
+            self._cur_bucket = 540
+            self.switched = []
+        def _set_bucket(self, b):
+            self._cur_bucket = b
+            self.switched.append(b)
+        _dynamic_resolution_step = E.Engine._dynamic_resolution_step
+
+    f = FakeEngine()
+    f._dynamic_resolution_step(1 / 20)  # 20 fps: drop a bucket
+    assert f._cur_bucket == 360
+    f._dynamic_resolution_step(1 / 200)  # very fast: climb
+    assert f._cur_bucket == 540
+    f._dynamic_resolution_step(1 / 61)  # inside deadband: no change
+    assert f.switched == [360, 540]
+    # never exceeds the configured max height
+    f._cur_bucket = 1080
+    f._dynamic_resolution_step(1 / 500)
+    assert f._cur_bucket == 1080
