@@ -70,16 +70,28 @@ def _sobol_dim0(index):
     return reverse_bits32(index)
 
 
+def _sobol_dim1_directions():
+    """The 32 direction numbers of Sobol dimension 1 (v_{k+1}=v_k^(v_k>>1))
+    as python constants (baked at trace time — no per-call carry chain)."""
+    vs = []
+    v = 1 << 31
+    for _ in range(32):
+        vs.append(v)
+        v ^= v >> 1
+    return vs
+
+
+_DIM1_V = _sobol_dim1_directions()
+
+
 def _sobol_dim1(index):
-    """Second Sobol dimension via its standard direction numbers
-    (v_0 = 2^31, v_{k+1} = v_k ^ (v_k >> 1)) — 32-step unrolled XOR."""
+    """Second Sobol dimension: XOR of constant direction numbers selected
+    by the index bits."""
     index = _u32(index)
     result = jnp.zeros_like(index)
-    v = jnp.full_like(index, U32(1 << 31))
     for k in range(32):
         bit = (index >> k) & U32(1)
-        result = result ^ (bit * v)
-        v = v ^ (v >> 1)
+        result = result ^ (bit * U32(_DIM1_V[k]))
     return result
 
 
