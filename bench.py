@@ -4,9 +4,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Measures the complete per-frame program (two-level LBVH rebuild, 1-spp
 wavefront path trace with packet traversal, SVGF denoise, postprocess,
-quantize) on the demo scene.  `vs_baseline` is the ratio of the reference's
-33.3 ms/frame target (30 FPS north star, BASELINE.json) to our time at the
-same resolution — >1.0 means faster than target.
+quantize).  `vs_baseline` is the ratio of the reference's 33.3 ms/frame
+target (30 FPS north star, BASELINE.json) to our time at the same
+resolution — >1.0 means faster than target.
+
+The headline scene is the marching-cubes Perlin terrain (~37k triangles) —
+the reference's own default content (reference: src/init.cu:82-97); the
+962-tri demo scene is available via BENCH_SCENE=demo for kernel-level
+comparisons only.
 """
 
 import json
@@ -19,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_W = int(os.environ.get("BENCH_WIDTH", 1920))
 BENCH_H = int(os.environ.get("BENCH_HEIGHT", 1080))
 FRAMES = int(os.environ.get("BENCH_FRAMES", 10))
+SCENE = os.environ.get("BENCH_SCENE", "terrain")
 
 
 def main():
@@ -37,7 +43,7 @@ def main():
     from rtrt_tpu.utils.config import DynamicResolution, GlobalSettings
 
     settings = GlobalSettings(
-        render_width=BENCH_W, render_height=BENCH_H, scene="demo",
+        render_width=BENCH_W, render_height=BENCH_H, scene=SCENE,
         texture_size=256,
         dynamic_resolution=DynamicResolution(enabled=False))
     eng = Engine(settings)
@@ -55,7 +61,8 @@ def main():
 
     target_ms = 33.333  # 30 FPS north star @1080p (BASELINE.json)
     print(json.dumps({
-        "metric": f"ms_per_frame_{eng.render_w}x{eng.render_h}_1spp_denoised",
+        "metric": (f"ms_per_frame_{eng.render_w}x{eng.render_h}_1spp_"
+                   f"denoised_{SCENE}_{eng.scene.num_tris}tris"),
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(target_ms / ms, 4),
