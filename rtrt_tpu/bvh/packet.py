@@ -90,19 +90,18 @@ def pack_for_packets(bvh: SceneBvh, tri_nrm_t=None, tri_mat=None) -> PacketTable
                         attr_i32)
 
 
-def _kernel(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
-            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-            t_out, tri_out, u_out, v_out, mat_out,
-            nsx_out, nsy_out, nsz_out, ngx_out, ngy_out, ngz_out,
-            *, tlas_internal, any_hit, max_steps):
-    ox = ox_ref[0]
-    oy = oy_ref[0]
-    oz = oz_ref[0]
-    dx = dx_ref[0]
-    dy = dy_ref[0]
-    dz = dz_ref[0]
-    t_cap = tmax_ref[0]
+def traverse_tile(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
+                  stack_ref, ox, oy, oz, dx, dy, dz, t_cap, *,
+                  tlas_internal, any_hit, max_steps):
+    """Shared-stack packet traversal over one ray tile — pure kernel code,
+    reusable from other Pallas kernels (the path-trace megakernel calls this
+    once per bounce segment with the stack scratch it owns).
 
+    ox..dz/t_cap: (sublane, lane) component arrays; stack_ref: SMEM (STACK,)
+    i32 scratch.  Returns the 11-tuple
+      (t, tri, u, v, mat, nsx, nsy, nsz, ngx, ngy, ngz)
+    with t = +inf where tri < 0 (miss).
+    """
     tiny = jnp.float32(1e-20)
     sdx = jnp.where(jnp.abs(dx) < tiny, jnp.where(dx >= 0, tiny, -tiny), dx)
     sdy = jnp.where(jnp.abs(dy) < tiny, jnp.where(dy >= 0, tiny, -tiny), dy)
@@ -179,135 +178,150 @@ def _kernel(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
         inv_det = jnp.where(det != 0.0, 1.0 / det, 0.0)
         return ok, t_s * inv_det, vv * inv_det, ww * inv_det
 
+    shape = ox.shape
+    zf = lambda: jnp.zeros(shape, jnp.float32)
+    init = (jnp.int32(0),
+            t_cap,
+            jnp.full(shape, -1, jnp.int32),
+            zf(), zf(),                       # u, v
+            jnp.zeros(shape, jnp.int32),      # mat
+            zf(), zf(), zf(),                  # shading normal
+            zf(), zf(), zf(),                  # geometric normal
+            jnp.int32(0),                      # steps
+            jnp.int32(0))                      # cur (TLAS root packed = 0)
+    # cur = 0 is valid (TLAS root); sentinel for "no current" = -1
+
+    def cond(s):
+        sp, steps, cur = s[0], s[-2], s[-1]
+        return ((sp > 0) | (cur >= 0)) & (steps < max_steps)
+
+    def step(s):
+        (sp, best_t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz,
+         steps, cur) = s
+
+        # pop when no current node (predicated select; SMEM read is cheap)
+        need = cur < 0
+        top = stack_ref[jnp.maximum(sp - 1, 0)]
+        cur = jnp.where(need, top, cur)
+        sp = jnp.where(need, sp - 1, sp)
+
+        idx = cur & _IDX_MASK
+        batch = (cur >> _BATCH_SHIFT) & _BATCH_MASK
+        is_blas = (cur & _BLAS_BIT) != 0
+        row = jnp.where(is_blas, tlas_internal + batch * BLAS_NODES + idx,
+                        idx)
+        nf = nodes_f_ref[pl.ds(row, 1), :][0]   # (16,) scalar row
+        ni = nodes_i_ref[pl.ds(row, 1), :][0]
+        le = ni[0]
+        re = ni[1]
+
+        hl, tl = slab(nf[0], nf[1], nf[2], nf[3], nf[4], nf[5], best_t)
+        hr, tr = slab(nf[6], nf[7], nf[8], nf[9], nf[10], nf[11], best_t)
+        anyl = jnp.any(hl)
+        anyr = jnp.any(hr)
+
+        # leaf children: test now (scalar tri row, dense lanes);
+        # surface attributes (shading/geometric normals, material) are
+        # computed AT ACCEPT TIME from scalar rows — the integrator
+        # never gathers per-triangle data again
+        def maybe_leaf(e, anyhit_flag, carry):
+            is_leaf = (e & _LEAF_BIT) != 0
+            do = is_leaf & anyhit_flag
+
+            def yes(args):
+                (best_t, tri, uo, vo, mat, nsx, nsy, nsz,
+                 ngx, ngy, ngz) = args
+                t_idx = ((e >> _BATCH_SHIFT) & _BATCH_MASK) * BATCH_SIZE \
+                    + (e & _IDX_MASK)
+                v = tris_ref[pl.ds(t_idx, 1), :][0]
+                ok, tt, tu, tv = tri_hit(v, best_t)
+                better = ok & (tt < best_t)
+                # scalar geometric normal (per-triangle constant)
+                e1x, e1y, e1z = v[3] - v[0], v[4] - v[1], v[5] - v[2]
+                e2x, e2y, e2z = v[6] - v[0], v[7] - v[1], v[8] - v[2]
+                gx = e1y * e2z - e1z * e2y
+                gy = e1z * e2x - e1x * e2z
+                gz = e1x * e2y - e1y * e2x
+                gl = jax.lax.rsqrt(
+                    jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-20))
+                gx, gy, gz = gx * gl, gy * gl, gz * gl
+                # interpolated shading normal (scalar rows x lane bary)
+                a = attr_f_ref[pl.ds(t_idx, 1), :][0]
+                am = attr_i_ref[pl.ds(t_idx, 1), :][0]
+                tw = 1.0 - tu - tv
+                inx = tw * a[0] + tu * a[3] + tv * a[6]
+                iny = tw * a[1] + tu * a[4] + tv * a[7]
+                inz = tw * a[2] + tu * a[5] + tv * a[8]
+                return (jnp.where(better, tt, best_t),
+                        jnp.where(better, t_idx, tri),
+                        jnp.where(better, tu, uo),
+                        jnp.where(better, tv, vo),
+                        jnp.where(better, am[0], mat),
+                        jnp.where(better, inx, nsx),
+                        jnp.where(better, iny, nsy),
+                        jnp.where(better, inz, nsz),
+                        jnp.where(better, gx, ngx),
+                        jnp.where(better, gy, ngy),
+                        jnp.where(better, gz, ngz))
+
+            # lax.cond keeps the leaf work off the pure-internal steps
+            # (the kernel is scalar-latency bound, so skipping the tri
+            # fetch+test when no leaf is hit measures faster than
+            # predication here)
+            return jax.lax.cond(do, yes, lambda a: a, carry)
+
+        carry = (best_t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz)
+        carry = maybe_leaf(le, anyl, carry)
+        carry = maybe_leaf(re, anyr, carry)
+        (best_t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz) = carry
+
+        l_int = anyl & ((le & _LEAF_BIT) == 0)
+        r_int = anyr & ((re & _LEAF_BIT) == 0)
+
+        # near-first by min entry distance over hitting lanes
+        minl = jnp.min(jnp.where(hl, tl, jnp.inf))
+        minr = jnp.min(jnp.where(hr, tr, jnp.inf))
+        l_first = minl <= minr
+        near = jnp.where(l_first, le, re)
+        far = jnp.where(l_first, re, le)
+        near_ok = jnp.where(l_first, l_int, r_int)
+        far_ok = jnp.where(l_first, r_int, l_int)
+
+        # push far
+        def push(sp):
+            stack_ref[sp] = far
+            return sp + 1
+
+        sp = jax.lax.cond(near_ok & far_ok & (sp < STACK), push,
+                          lambda s: s, sp)
+        nxt = jnp.where(near_ok, near,
+                        jnp.where(far_ok, far, jnp.int32(-1)))
+        if any_hit:
+            done = jnp.all((tri >= 0) | (t_cap <= RAY_TMIN))
+            sp = jnp.where(done, 0, sp)
+            nxt = jnp.where(done, jnp.int32(-1), nxt)
+        return (sp, best_t, tri, uo, vo, mat, nsx, nsy, nsz,
+                ngx, ngy, ngz, steps + 1, nxt)
+
+    out = jax.lax.while_loop(cond, step, init)
+    (_, best_t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz,
+     _, _) = out
+    return (jnp.where(tri >= 0, best_t, jnp.inf), tri, uo, vo, mat,
+            nsx, nsy, nsz, ngx, ngy, ngz)
+
+
+def _kernel(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+            t_out, tri_out, u_out, v_out, mat_out,
+            nsx_out, nsy_out, nsz_out, ngx_out, ngy_out, ngz_out,
+            *, tlas_internal, any_hit, max_steps):
     def run(stack_ref):
-        zf = lambda: jnp.zeros(TILE_SHAPE, jnp.float32)
-        init = (jnp.int32(0),
-                t_cap,
-                jnp.full(TILE_SHAPE, -1, jnp.int32),
-                zf(), zf(),                       # u, v
-                jnp.zeros(TILE_SHAPE, jnp.int32),  # mat
-                zf(), zf(), zf(),                  # shading normal
-                zf(), zf(), zf(),                  # geometric normal
-                jnp.int32(0),                      # steps
-                jnp.int32(0))                      # cur (TLAS root packed = 0)
-        # cur = 0 is valid (TLAS root); sentinel for "no current" = -1
-
-        def cond(s):
-            sp, steps, cur = s[0], s[-2], s[-1]
-            return ((sp > 0) | (cur >= 0)) & (steps < max_steps)
-
-        def step(s):
-            (sp, best_t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz,
-             steps, cur) = s
-
-            # pop when no current node (predicated select; SMEM read is cheap)
-            need = cur < 0
-            top = stack_ref[jnp.maximum(sp - 1, 0)]
-            cur = jnp.where(need, top, cur)
-            sp = jnp.where(need, sp - 1, sp)
-
-            idx = cur & _IDX_MASK
-            batch = (cur >> _BATCH_SHIFT) & _BATCH_MASK
-            is_blas = (cur & _BLAS_BIT) != 0
-            row = jnp.where(is_blas, tlas_internal + batch * BLAS_NODES + idx,
-                            idx)
-            nf = nodes_f_ref[pl.ds(row, 1), :][0]   # (16,) scalar row
-            ni = nodes_i_ref[pl.ds(row, 1), :][0]
-            le = ni[0]
-            re = ni[1]
-
-            hl, tl = slab(nf[0], nf[1], nf[2], nf[3], nf[4], nf[5], best_t)
-            hr, tr = slab(nf[6], nf[7], nf[8], nf[9], nf[10], nf[11], best_t)
-            anyl = jnp.any(hl)
-            anyr = jnp.any(hr)
-
-            # leaf children: test now (scalar tri row, dense lanes);
-            # surface attributes (shading/geometric normals, material) are
-            # computed AT ACCEPT TIME from scalar rows — the integrator
-            # never gathers per-triangle data again
-            def maybe_leaf(e, anyhit_flag, carry):
-                is_leaf = (e & _LEAF_BIT) != 0
-                do = is_leaf & anyhit_flag
-
-                def yes(args):
-                    (best_t, tri, uo, vo, mat, nsx, nsy, nsz,
-                     ngx, ngy, ngz) = args
-                    t_idx = ((e >> _BATCH_SHIFT) & _BATCH_MASK) * BATCH_SIZE \
-                        + (e & _IDX_MASK)
-                    v = tris_ref[pl.ds(t_idx, 1), :][0]
-                    ok, tt, tu, tv = tri_hit(v, best_t)
-                    better = ok & (tt < best_t)
-                    # scalar geometric normal (per-triangle constant)
-                    e1x, e1y, e1z = v[3] - v[0], v[4] - v[1], v[5] - v[2]
-                    e2x, e2y, e2z = v[6] - v[0], v[7] - v[1], v[8] - v[2]
-                    gx = e1y * e2z - e1z * e2y
-                    gy = e1z * e2x - e1x * e2z
-                    gz = e1x * e2y - e1y * e2x
-                    gl = jax.lax.rsqrt(
-                        jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-20))
-                    gx, gy, gz = gx * gl, gy * gl, gz * gl
-                    # interpolated shading normal (scalar rows x lane bary)
-                    a = attr_f_ref[pl.ds(t_idx, 1), :][0]
-                    am = attr_i_ref[pl.ds(t_idx, 1), :][0]
-                    tw = 1.0 - tu - tv
-                    inx = tw * a[0] + tu * a[3] + tv * a[6]
-                    iny = tw * a[1] + tu * a[4] + tv * a[7]
-                    inz = tw * a[2] + tu * a[5] + tv * a[8]
-                    return (jnp.where(better, tt, best_t),
-                            jnp.where(better, t_idx, tri),
-                            jnp.where(better, tu, uo),
-                            jnp.where(better, tv, vo),
-                            jnp.where(better, am[0], mat),
-                            jnp.where(better, inx, nsx),
-                            jnp.where(better, iny, nsy),
-                            jnp.where(better, inz, nsz),
-                            jnp.where(better, gx, ngx),
-                            jnp.where(better, gy, ngy),
-                            jnp.where(better, gz, ngz))
-
-                # lax.cond keeps the leaf work off the pure-internal steps
-                # (the kernel is scalar-latency bound, so skipping the tri
-                # fetch+test when no leaf is hit measures faster than
-                # predication here)
-                return jax.lax.cond(do, yes, lambda a: a, carry)
-
-            carry = (best_t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz)
-            carry = maybe_leaf(le, anyl, carry)
-            carry = maybe_leaf(re, anyr, carry)
-            (best_t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz) = carry
-
-            l_int = anyl & ((le & _LEAF_BIT) == 0)
-            r_int = anyr & ((re & _LEAF_BIT) == 0)
-
-            # near-first by min entry distance over hitting lanes
-            minl = jnp.min(jnp.where(hl, tl, jnp.inf))
-            minr = jnp.min(jnp.where(hr, tr, jnp.inf))
-            l_first = minl <= minr
-            near = jnp.where(l_first, le, re)
-            far = jnp.where(l_first, re, le)
-            near_ok = jnp.where(l_first, l_int, r_int)
-            far_ok = jnp.where(l_first, r_int, l_int)
-
-            # push far
-            def push(sp):
-                stack_ref[sp] = far
-                return sp + 1
-
-            sp = jax.lax.cond(near_ok & far_ok & (sp < STACK), push,
-                              lambda s: s, sp)
-            nxt = jnp.where(near_ok, near,
-                            jnp.where(far_ok, far, jnp.int32(-1)))
-            if any_hit:
-                done = jnp.all((tri >= 0) | (t_cap <= RAY_TMIN))
-                sp = jnp.where(done, 0, sp)
-                nxt = jnp.where(done, jnp.int32(-1), nxt)
-            return (sp, best_t, tri, uo, vo, mat, nsx, nsy, nsz,
-                    ngx, ngy, ngz, steps + 1, nxt)
-
-        out = jax.lax.while_loop(cond, step, init)
-        (_, best_t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz,
-         _, _) = out
-        t_out[0] = jnp.where(tri >= 0, best_t, jnp.inf)
+        (t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz) = traverse_tile(
+            nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
+            stack_ref, ox_ref[0], oy_ref[0], oz_ref[0],
+            dx_ref[0], dy_ref[0], dz_ref[0], tmax_ref[0],
+            tlas_internal=tlas_internal, any_hit=any_hit, max_steps=max_steps)
+        t_out[0] = t
         tri_out[0] = tri
         u_out[0] = uo
         v_out[0] = vo
@@ -320,6 +334,7 @@ def _kernel(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
         ngz_out[0] = ngz
 
     pl.run_scoped(run, pltpu.SMEM((STACK,), jnp.int32))
+
 
 
 class PacketHit(NamedTuple):

@@ -149,6 +149,8 @@ class Engine:
             num_batches=self.scene.num_batches,
             flags=self.flags,
             use_packets=_tpu_available(),
+            use_megakernel=(_tpu_available()
+                            and os.environ.get("RTRT_MEGAKERNEL", "1") != "0"),
             animation=self.animation)
         if bucket_h not in self._frame_fns:
             self._frame_fns[bucket_h] = make_frame_fn(static)

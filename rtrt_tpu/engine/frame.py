@@ -68,6 +68,7 @@ class FrameStatic(NamedTuple):
     flags: FeatureFlags
     max_traversal_steps: int = 1024
     use_packets: bool = True  # Pallas packet kernel (TPU); False = XLA loop
+    use_megakernel: bool = False  # whole bounce program in ONE Pallas kernel
     animation: str = "none"   # none | wave — in-jit vertex displacement
 
 
@@ -138,18 +139,26 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
                           focal_dist=params.sample.focal_dist)
     basis = camera_basis(cam)
     prev_basis = camera_basis(prev_camera)
+    from ..bvh.packet import TILE
     n_pix = w * h
-    n_pad = -(-n_pix // 1024) * 1024
+    n_pad = -(-n_pix // TILE) * TILE
     pixel_ids = jnp.minimum(jnp.arange(n_pad, dtype=jnp.int32), n_pix - 1)
     jitter = rand2(pixel_ids, frame_idx, jnp.uint32(0))
     lens = rand2(pixel_ids, frame_idx, jnp.uint32(256))
     rays = generate_rays_padded(basis, w, h, pixel_ids, jitter, lens)
 
-    # ---- wavefront path trace ----
-    gbuf: GBuffer = path_trace(scene, rays, pixel_ids, frame_idx, prev_basis,
-                               w / h, max_steps=static.max_traversal_steps,
-                               use_packets=static.use_packets,
-                               use_proctex=static.flags.procedural_textures)
+    # ---- path trace: megakernel (one Pallas launch) or wavefront ----
+    if static.use_megakernel:
+        from ..render.megakernel import path_trace_mega
+        gbuf: GBuffer = path_trace_mega(
+            scene, rays, pixel_ids, frame_idx, prev_basis, w / h,
+            use_proctex=static.flags.procedural_textures)
+    else:
+        gbuf: GBuffer = path_trace(
+            scene, rays, pixel_ids, frame_idx, prev_basis,
+            w / h, max_steps=static.max_traversal_steps,
+            use_packets=static.use_packets,
+            use_proctex=static.flags.procedural_textures)
 
     color = gbuf.color[:n_pix].reshape(h, w, 3)
     albedo = gbuf.albedo[:n_pix].reshape(h, w, 3)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from .bsdf import (MAT_GGX, MAT_GLASS, MAT_LAMBERT, MAT_MIRROR,
                    fresnel_dielectric, ggx_d, smith_g2)
-from .sampling import (INV_2POW32, TWO_PI, _sobol_dim0, _sobol_dim1,
+from .sampling import (INV_2POW24, TWO_PI, _sobol_dim0, _sobol_dim1,
                        _to_unit_float, hash_combine, owen_scramble,
                        pixel_seed)
 
@@ -75,13 +75,23 @@ def vcross(a: V3, b: V3) -> V3:
 
 
 def vnormalize(a: V3) -> V3:
-    inv = jax.lax.rsqrt(jnp.maximum(vdot(a, a), 1e-20))
+    """Safe normalize — bit-exact mirror of core/vecmath.normalize (zero
+    vectors map to zero, same op sequence so GGX peaks match the XLA path)."""
+    n2 = vdot(a, a)
+    inv = jnp.where(n2 > 1e-20,
+                    jnp.reciprocal(jnp.sqrt(jnp.maximum(n2, 1e-20))), 0.0)
     return a * inv
 
 
 def vwhere(m, a: V3, b: V3) -> V3:
     return V3(jnp.where(m, a.x, b.x), jnp.where(m, a.y, b.y),
               jnp.where(m, a.z, b.z))
+
+
+def bwhere(m, a, b):
+    """Select between BOOL arrays with logical ops — Mosaic cannot lower
+    vector-i1 select_n (it emits an unsupported i8->i1 truncation)."""
+    return (m & a) | (~m & b)
 
 
 def vlum(a: V3):
@@ -350,7 +360,8 @@ def _hash3_c(ix, iy, iz, seed):
     h ^= h >> 12
     h *= U32(0x297A2D39)
     h ^= h >> 15
-    return h.astype(jnp.float32) * jnp.float32(INV_2POW32)
+    return (h >> 8).astype(jnp.int32).astype(jnp.float32) \
+        * jnp.float32(INV_2POW24)
 
 
 def value_noise3_c(px, py, pz, seed: int):
@@ -444,18 +455,18 @@ MAT_ROW = 16
 
 
 def pack_materials_rows(materials):
-    """Materials NamedTuple -> (M, MAT_ROW) f32 row table."""
-    import numpy as np
-    m = int(materials.mtype.shape[0])
-    rows = np.zeros((m, MAT_ROW), np.float32)
-    rows[:, 0] = np.asarray(materials.mtype, np.float32)
-    rows[:, 1:4] = np.asarray(materials.albedo, np.float32)
-    rows[:, 4:7] = np.asarray(materials.emission, np.float32)
-    rows[:, 7] = np.asarray(materials.roughness, np.float32)
-    rows[:, 8] = np.asarray(materials.ior, np.float32)
-    rows[:, 9:12] = np.asarray(materials.f0, np.float32)
-    rows[:, 12] = np.asarray(materials.textured, np.float32)
-    return jnp.asarray(rows)
+    """Materials NamedTuple -> (M, MAT_ROW) f32 row table (traceable)."""
+    m = materials.mtype.shape[0]
+    f32 = jnp.float32
+    return jnp.concatenate([
+        materials.mtype.astype(f32)[:, None],
+        materials.albedo.astype(f32),
+        materials.emission.astype(f32),
+        materials.roughness.astype(f32)[:, None],
+        materials.ior.astype(f32)[:, None],
+        materials.f0.astype(f32),
+        materials.textured.astype(f32)[:, None],
+        jnp.zeros((m, MAT_ROW - 13), f32)], axis=1)
 
 
 def material_select_c(read_row, n_materials: int, mat):
@@ -472,7 +483,9 @@ def material_select_c(read_row, n_materials: int, mat):
     f0 = V3(zero, zero, zero)
     rough = zero
     ior = jnp.ones_like(mat, jnp.float32)
-    textured = jnp.zeros_like(mat, bool)
+    # accumulate the textured flag as f32 — a bool-vector select against a
+    # scalar operand lowers to an unsupported i8->i1 truncation on Mosaic
+    tex_f = zero
     for i in range(n_materials):
         r = read_row(i)
         sel = mat == i
@@ -482,8 +495,8 @@ def material_select_c(read_row, n_materials: int, mat):
         rough = jnp.where(sel, r[7], rough)
         ior = jnp.where(sel, r[8], ior)
         f0 = vwhere(sel, V3(r[9], r[10], r[11]), f0)
-        textured = jnp.where(sel, r[12] != 0.0, textured)
-    return mtype, albedo, rough, ior, f0, emission, textured
+        tex_f = jnp.where(sel, r[12], tex_f)
+    return mtype, albedo, rough, ior, f0, emission, tex_f != 0.0
 
 
 # ---------------------------------------------------------------------------
@@ -551,23 +564,25 @@ def sample_sphere_light_c(read_light, n_lights: int, li, p: V3, u1, u2):
     Returns (wi V3, radiance V3, pdf, dist)."""
     zero = jnp.zeros_like(p.x)
     c = V3(zero, zero, zero)
-    rad = zero
+    radius = zero
     em = V3(zero, zero, zero)
     for i in range(n_lights):
         r = read_light(i)
         sel = li == i
         c = vwhere(sel, V3(r[0], r[1], r[2]), c)
-        rad = jnp.where(sel, r[3], rad)
+        radius = jnp.where(sel, r[3], radius)
         em = vwhere(sel, V3(r[4], r[5], r[6]), em)
     to_c = c - p
     d2 = jnp.maximum(vdot(to_c, to_c), 1e-8)
     dist = jnp.sqrt(d2)
     axis = to_c * (1.0 / dist)
-    sin2 = jnp.clip(rad * rad / d2, 0.0, 0.9999)
-    cos_max = jnp.sqrt(1.0 - sin2)
+    sin2_max = jnp.clip(radius * radius / d2, 0.0, 0.9999)
+    cos_max = jnp.sqrt(1.0 - sin2_max)
     local = uniform_cone_c(u1, u2, cos_max)
     wi = vnormalize(local_to_world_c(local, axis))
-    pdf = uniform_cone_pdf_c(cos_max)
-    # radiance: emission if the cone ray actually meets the sphere (it does
-    # by construction of the cone)
-    return wi, em, pdf, dist * jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+    pdf = jnp.broadcast_to(uniform_cone_pdf_c(cos_max), wi.x.shape)
+    # distance to the sphere surface along wi (the cone cap), exactly as
+    # light.sample_sphere_light computes it
+    hit_dist = dist * local.z - jnp.sqrt(
+        jnp.maximum(radius * radius - d2 * (1.0 - local.z * local.z), 0.0))
+    return wi, em, pdf, jnp.maximum(hit_dist, 0.0)

@@ -33,7 +33,10 @@ def _hash3(ix, iy, iz, seed):
     h ^= h >> 12
     h *= U32(0x297A2D39)
     h ^= h >> 15
-    return h.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
+    # top-24-bit unit float: u32->f32 converts are unsupported on the TPU
+    # VPU (megakernel shares this hash), i32->f32 is native
+    return (h >> 8).astype(jnp.int32).astype(jnp.float32) \
+        * jnp.float32(5.960464477539063e-08)
 
 
 def value_noise3(p, seed: int):

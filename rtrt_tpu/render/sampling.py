@@ -24,6 +24,7 @@ from ..core.vecmath import vec3
 U32 = jnp.uint32
 TWO_PI = 6.283185307179586
 INV_2POW32 = 2.3283064365386963e-10  # 2^-32
+INV_2POW24 = 5.960464477539063e-08   # 2^-24
 
 
 def _u32(x):
@@ -111,8 +112,11 @@ def owen_scramble(x, seed):
 
 
 def _to_unit_float(u):
-    """uint32 -> [0, 1) float32."""
-    return u.astype(jnp.float32) * jnp.float32(INV_2POW32)
+    """uint32 -> [0, 1) float32 via the top 24 bits (exact in f32's
+    mantissa, and — unlike a direct u32->f32 convert — expressible on the
+    TPU VPU, which only casts i32<->f32; the megakernel shares this code)."""
+    return (u >> 8).astype(jnp.int32).astype(jnp.float32) \
+        * jnp.float32(INV_2POW24)
 
 
 def sobol_owen_2d(index, seed):
