@@ -42,10 +42,14 @@ from jax.experimental.pallas import tpu as pltpu
 from .types import (BATCH_SIZE, BLAS_NODES, SceneBvh, entry_batch, entry_idx,
                     entry_is_blas, entry_is_leaf)
 
-TILE = 2048          # rays per packet (2 vreg rows; best measured)
-TILE_SHAPE = (16, 128)
-STACK = 64           # shared per-tile stack depth (scalars in SMEM)
-PACKET_MAX_STEPS = 4096
+TILE = 8192          # rays per packet (64x128-px blocks, frame.py order;
+                     # measured best of 1k/2k/4k/8k/16k at 1080p terrain)
+TILE_SHAPE = (64, 128)
+STACK = 512          # shared per-tile stack depth (scalars in SMEM).
+                     # Big (64x128-px) tiles union many subtrees; 64 was
+                     # observed to overflow on the terrain scene, silently
+                     # dropping far-child pushes (missing-geometry tiles)
+PACKET_MAX_STEPS = 16384
 
 RAY_TMIN = 1e-4
 _IDX_MASK = (1 << 11) - 1
@@ -56,13 +60,31 @@ _LEAF_BIT = 1 << 23
 
 
 class PacketTables(NamedTuple):
-    """Row-layout tables consumed by the packet kernel."""
+    """128-lane packed record tables consumed by the packet kernel.
 
-    nodes_f32: jnp.ndarray  # (Mn, 16) box pair + pad
-    nodes_i32: jnp.ndarray  # (Mn, 2) packed child entries
-    tris_f32: jnp.ndarray   # (T, 16) v0|v1|v2|pad
-    attr_f32: jnp.ndarray   # (T, 12) n0|n1|n2|pad vertex normals
-    attr_i32: jnp.ndarray   # (T, 2) [material id | pad]
+    Each table row holds 128/stride records side by side (stride 16 for
+    float rows, 2 for int pairs); a record is fetched with one dynamic
+    sublane read + one lane rotate (pltpu.roll).  Dense packing keeps the
+    whole table set VMEM-resident at ~64 B/triangle (a 16-wide row layout
+    pads every row to 128 lanes in VMEM — 8-64x the footprint, which blew
+    the scoped-VMEM budget and capped scene size)."""
+
+    nodes_f32: jnp.ndarray  # (ceil(Mn/8), 128)  8 nodes/row x 16 floats
+    nodes_i32: jnp.ndarray  # (ceil(Mn/64), 128) 64 nodes/row x 2 children
+    tris_f32: jnp.ndarray   # (ceil(T/8), 128)   8 tris/row x 16 floats
+    attr_f32: jnp.ndarray   # (ceil(T/8), 128)   8 tris/row x 16 floats
+    attr_i32: jnp.ndarray   # (ceil(T/64), 128)  64 tris/row x 2 ints
+
+
+def _pack_rows(a, stride):
+    """(N, C<=stride) -> (R, 128): 128//stride records per row, rows padded
+    to a multiple of 8 (aligned whole-table DMAs)."""
+    n, c = a.shape
+    per = 128 // stride
+    rows = -(-(-(-n // per)) // 8) * 8
+    out = jnp.zeros((rows * per, stride), a.dtype)
+    out = out.at[:n, :c].set(a)
+    return out.reshape(rows, 128)
 
 
 def pack_for_packets(bvh: SceneBvh, tri_nrm_t=None, tri_mat=None) -> PacketTables:
@@ -71,28 +93,39 @@ def pack_for_packets(bvh: SceneBvh, tri_nrm_t=None, tri_mat=None) -> PacketTable
     tri_nrm_t: (9, T) sorted vertex normals; tri_mat: (T,) sorted material
     ids — both optional (zero/one filled when the caller only traverses).
     """
-    mn = bvh.boxes_t.shape[1]
     t = bvh.tris_t.shape[1]
-    nodes_f32 = jnp.concatenate(
-        [bvh.boxes_t.T, jnp.zeros((mn, 4), jnp.float32)], axis=1)
-    tris_f32 = jnp.concatenate(
-        [bvh.tris_t.T, jnp.zeros((t, 7), jnp.float32)], axis=1)
     if tri_nrm_t is None:
-        attr_f32 = jnp.zeros((t, 12), jnp.float32)
+        attr_f = jnp.zeros((t, 9), jnp.float32)
     else:
-        attr_f32 = jnp.concatenate(
-            [tri_nrm_t.T, jnp.zeros((t, 3), jnp.float32)], axis=1)
+        attr_f = tri_nrm_t.T
     if tri_mat is None:
-        attr_i32 = jnp.zeros((t, 2), jnp.int32)
+        attr_i = jnp.zeros((t, 1), jnp.int32)
     else:
-        attr_i32 = jnp.stack([tri_mat, jnp.zeros_like(tri_mat)], axis=1)
-    return PacketTables(nodes_f32, bvh.children_t.T, tris_f32, attr_f32,
-                        attr_i32)
+        attr_i = tri_mat[:, None]
+    return PacketTables(
+        nodes_f32=_pack_rows(bvh.boxes_t.T, 16),
+        nodes_i32=_pack_rows(bvh.children_t.T, 2),
+        tris_f32=_pack_rows(bvh.tris_t.T, 16),
+        attr_f32=_pack_rows(attr_f, 16),
+        attr_i32=_pack_rows(attr_i, 2))
+
+
+def _rec_fetch(ref, i, stride, interpret):
+    """Fetch packed record i from a (R,128) table: one dynamic sublane read
+    + one lane rotate; returns a (128,) value whose first `stride` lanes
+    are the record (callers index [0..stride))."""
+    per = 128 // stride
+    row = ref[pl.ds(i // per, 1), :]          # (1,128)
+    sh = stride * (i % per)
+    if interpret:
+        return jnp.roll(row, -sh, axis=1)[0]
+    shift = jnp.where(sh == 0, 0, 128 - sh)
+    return pltpu.roll(row, shift, 1)[0]
 
 
 def traverse_tile(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
                   stack_ref, ox, oy, oz, dx, dy, dz, t_cap, *,
-                  tlas_internal, any_hit, max_steps):
+                  tlas_internal, any_hit, max_steps, interpret=False):
     """Shared-stack packet traversal over one ray tile — pure kernel code,
     reusable from other Pallas kernels (the path-trace megakernel calls this
     once per bounce segment with the stack scratch it owns).
@@ -210,8 +243,8 @@ def traverse_tile(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
         is_blas = (cur & _BLAS_BIT) != 0
         row = jnp.where(is_blas, tlas_internal + batch * BLAS_NODES + idx,
                         idx)
-        nf = nodes_f_ref[pl.ds(row, 1), :][0]   # (16,) scalar row
-        ni = nodes_i_ref[pl.ds(row, 1), :][0]
+        nf = _rec_fetch(nodes_f_ref, row, 16, interpret)
+        ni = _rec_fetch(nodes_i_ref, row, 2, interpret)
         le = ni[0]
         re = ni[1]
 
@@ -233,7 +266,7 @@ def traverse_tile(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
                  ngx, ngy, ngz) = args
                 t_idx = ((e >> _BATCH_SHIFT) & _BATCH_MASK) * BATCH_SIZE \
                     + (e & _IDX_MASK)
-                v = tris_ref[pl.ds(t_idx, 1), :][0]
+                v = _rec_fetch(tris_ref, t_idx, 16, interpret)
                 ok, tt, tu, tv = tri_hit(v, best_t)
                 better = ok & (tt < best_t)
                 # scalar geometric normal (per-triangle constant)
@@ -246,8 +279,8 @@ def traverse_tile(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
                     jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-20))
                 gx, gy, gz = gx * gl, gy * gl, gz * gl
                 # interpolated shading normal (scalar rows x lane bary)
-                a = attr_f_ref[pl.ds(t_idx, 1), :][0]
-                am = attr_i_ref[pl.ds(t_idx, 1), :][0]
+                a = _rec_fetch(attr_f_ref, t_idx, 16, interpret)
+                am = _rec_fetch(attr_i_ref, t_idx, 2, interpret)
                 tw = 1.0 - tu - tv
                 inx = tw * a[0] + tu * a[3] + tv * a[6]
                 iny = tw * a[1] + tu * a[4] + tv * a[7]
@@ -314,13 +347,31 @@ def _kernel(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
             t_out, tri_out, u_out, v_out, mat_out,
             nsx_out, nsy_out, nsz_out, ngx_out, ngy_out, ngz_out,
-            *, tlas_internal, any_hit, max_steps):
-    def run(stack_ref):
+            *, tlas_internal, any_hit, max_steps, interpret=False):
+    step0 = pl.program_id(0) == 0  # (before run_scoped: interpret mode
+    #                                loses the grid context inside it)
+
+    def run(stack_ref, nodes_f_v, nodes_i_v, tris_v, attr_f_v, attr_i_v,
+            tdma_sem):
+        # stage tables HBM->VMEM once at grid step 0 (Mosaic re-copies
+        # pipelined whole-array VMEM inputs on EVERY step; ~2 s/frame at
+        # 1080p — same staging as render/megakernel.py)
+        @pl.when(step0)
+        def _copy_tables():
+            pairs = [(nodes_f_ref, nodes_f_v), (nodes_i_ref, nodes_i_v),
+                     (tris_ref, tris_v), (attr_f_ref, attr_f_v),
+                     (attr_i_ref, attr_i_v)]
+            for k, (src, dst) in enumerate(pairs):
+                pltpu.make_async_copy(src, dst, tdma_sem.at[k]).start()
+            for k, (src, dst) in enumerate(pairs):
+                pltpu.make_async_copy(src, dst, tdma_sem.at[k]).wait()
+
         (t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz) = traverse_tile(
-            nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
+            nodes_f_v, nodes_i_v, tris_v, attr_f_v, attr_i_v,
             stack_ref, ox_ref[0], oy_ref[0], oz_ref[0],
             dx_ref[0], dy_ref[0], dz_ref[0], tmax_ref[0],
-            tlas_internal=tlas_internal, any_hit=any_hit, max_steps=max_steps)
+            tlas_internal=tlas_internal, any_hit=any_hit,
+            max_steps=max_steps, interpret=interpret)
         t_out[0] = t
         tri_out[0] = tri
         u_out[0] = uo
@@ -333,7 +384,13 @@ def _kernel(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
         ngy_out[0] = ngy
         ngz_out[0] = ngz
 
-    pl.run_scoped(run, pltpu.SMEM((STACK,), jnp.int32))
+    pl.run_scoped(run, pltpu.SMEM((STACK,), jnp.int32),
+                  pltpu.VMEM(nodes_f_ref.shape, jnp.float32),
+                  pltpu.VMEM(nodes_i_ref.shape, jnp.int32),
+                  pltpu.VMEM(tris_ref.shape, jnp.float32),
+                  pltpu.VMEM(attr_f_ref.shape, jnp.float32),
+                  pltpu.VMEM(attr_i_ref.shape, jnp.int32),
+                  pltpu.SemaphoreType.DMA((5,)))
 
 
 
@@ -351,7 +408,7 @@ class PacketHit(NamedTuple):
 
 def packet_intersect(tables: PacketTables, org, dir, t_max=None, *,
                      any_hit=False, max_steps=PACKET_MAX_STEPS,
-                     tlas_internal) -> PacketHit:
+                     tlas_internal, interpret=False) -> PacketHit:
     """Trace (N,3) rays with the packet kernel.  Pads N up to a TILE
     multiple internally (pad rays carry t_max=0 and terminate instantly)."""
     n0 = org.shape[0]
@@ -374,11 +431,15 @@ def packet_intersect(tables: PacketTables, org, dir, t_max=None, *,
             shape(t_max)]
 
     kernel = functools.partial(_kernel, tlas_internal=tlas_internal,
-                               any_hit=any_hit, max_steps=max_steps)
+                               any_hit=any_hit, max_steps=max_steps,
+                               interpret=interpret)
     grid = (nt,)
     ray_spec = pl.BlockSpec((1,) + TILE_SHAPE, lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    # big tables arrive in ANY (HBM) and are staged into VMEM scratch once
+    # at grid step 0 inside the kernel (pipelined whole-array VMEM inputs
+    # are re-copied from HBM on EVERY grid step — ~2 s/frame at 1080p)
+    table_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 5
 
     f32s = jax.ShapeDtypeStruct((nt,) + TILE_SHAPE, jnp.float32)
     i32s = jax.ShapeDtypeStruct((nt,) + TILE_SHAPE, jnp.int32)
@@ -387,9 +448,10 @@ def packet_intersect(tables: PacketTables, org, dir, t_max=None, *,
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[table_spec] * 5 + [ray_spec] * 7,
+        in_specs=table_specs + [ray_spec] * 7,
         out_specs=[ray_spec] * 11,
         out_shape=out_shapes,
+        interpret=interpret,
     )(tables.nodes_f32, tables.nodes_i32, tables.tris_f32,
       tables.attr_f32, tables.attr_i32,
       *[c.reshape((nt,) + TILE_SHAPE) for c in comp])

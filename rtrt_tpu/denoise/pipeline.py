@@ -50,19 +50,33 @@ def init_history(h: int, w: int) -> DenoiseHistory:
 
 def denoise(color, albedo, normal, depth, mat_id, motion,
             history: DenoiseHistory, p: DenoiseParams, flags: FeatureFlags,
-            frame_parity: int = 0):
+            frame_parity: int = 0, reproject_mode: str = "gather"):
     """Run the chain on demodulated radiance.
 
+    reproject_mode: "tile_shift" (Pallas windowed kernel — arbitrary-motion
+    history, the TPU default; frame.py selects it), "gather" (pure-XLA
+    twin — the default, runs on any backend), "stencil" (round-1 ±1 px
+    fallback).
     Returns (final_color_with_albedo, new_history).
     """
     c = color
     new_count = history.count
 
+    rep1 = rep2 = None
+    if flags.temporal_filter and reproject_mode != "stencil":
+        from .reproject import reproject_gather, reproject_tile_shift
+        fn = (reproject_tile_shift if reproject_mode == "tile_shift"
+              else reproject_gather)
+        rep = fn(history.color, history.color2, history.depth,
+                 history.mat_id, history.count, motion)
+        rep1 = (rep.color, rep.depth, rep.mat_id, rep.count, rep.ok)
+        rep2 = (rep.color2, rep.depth, rep.mat_id, rep.count, rep.ok)
+
     if flags.temporal_filter:
         c, new_count = temporal_filter(c, normal, depth, mat_id, motion,
                                        history.color, history.depth,
                                        history.mat_id, history.valid, p,
-                                       hist_count=history.count)
+                                       hist_count=history.count, reproj=rep1)
 
     # noise estimate decays with accumulation (variance ~ 1/N), restoring
     # the reference's converged-tiles-skip-filtering behavior
@@ -91,7 +105,7 @@ def denoise(color, albedo, normal, depth, mat_id, motion,
         c, _ = temporal_filter(c, normal, depth, mat_id, motion,
                                history.color2, history.depth,
                                history.mat_id, history.valid, p,
-                               hist_count=history.count)
+                               hist_count=history.count, reproj=rep2)
     hist_color2 = c
 
     new_history = DenoiseHistory(

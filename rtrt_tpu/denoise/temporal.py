@@ -30,7 +30,7 @@ def _uv_grid(h, w):
 def temporal_filter(color, normal, depth, mat_id, motion,
                     hist_color, hist_depth, hist_mat, hist_valid,
                     p: DenoiseParams, bicubic: bool = False,
-                    hist_count=None):
+                    hist_count=None, reproj=None):
     """First temporal accumulation pass.
 
     color/normal: (H,W,3); depth: (H,W); mat_id: (H,W) i32; motion: (H,W,2)
@@ -43,6 +43,11 @@ def temporal_filter(color, normal, depth, mat_id, motion,
     below ~alpha/2 of the input variance, which kept the spatial-filter
     noise gate permanently open).  Returns (filtered, new_count) then;
     plain filtered otherwise.
+
+    reproj: optional (hist_rgb, hist_depth, hist_mat, hist_count, ok) of
+    PRE-REPROJECTED history (denoise/reproject.py tile-shift kernel or its
+    gather twin) — the arbitrary-motion default; the in-function paths below
+    (±1 px shift stencil / bicubic gather) remain as fallbacks.
     """
     h, w = color.shape[0], color.shape[1]
     uv = _uv_grid(h, w)
@@ -51,13 +56,16 @@ def temporal_filter(color, normal, depth, mat_id, motion,
     # --- history fetch ---
     # The reference bicubic-resamples history at uv+motion (:800-812), a
     # per-pixel gather.  TPU gathers cost ~8.6ns/element (0.4s/frame at
-    # 1080p), so the default is a SHIFT-STENCIL reprojection: for sub-pixel
-    # motion, bilinear resampling == a 3x3 weighted sum of statically
-    # shifted history images (pure fused stencils, zero gathers).  Motion
-    # beyond +-1px rejects history (temporal restart; the 1/N count resets
-    # and the spatial gate reopens — consistent quality under fast motion).
-    # `bicubic=True` selects the full gather path for offline quality.
-    if bicubic:
+    # 1080p), so history arrives either pre-reprojected by the tile-shift
+    # Pallas kernel (`reproj`, arbitrary motion, zero gathers) or through
+    # a ±1 px SHIFT-STENCIL fallback: bilinear resampling == a 3x3 weighted
+    # sum of statically shifted history images.  Motion beyond the window
+    # rejects history (temporal restart; the 1/N count resets and the
+    # spatial gate reopens).  `bicubic=True` = full gather path (offline).
+    if reproj is not None:
+        hist, hd, hist_mat_s, n_prev_raw, rep_ok = reproj
+        small_motion = rep_ok
+    elif bicubic:
         hist = bicubic_catmull_rom_sample(hist_color, prev_uv)
         small_motion = jnp.ones(motion.shape[:-1], bool)
     else:
@@ -88,7 +96,9 @@ def temporal_filter(color, normal, depth, mat_id, motion,
     # --- history validity (:836-851) ---
     in_bounds = ((prev_uv[..., 0] >= 0.0) & (prev_uv[..., 0] <= 1.0)
                  & (prev_uv[..., 1] >= 0.0) & (prev_uv[..., 1] <= 1.0))
-    if bicubic:
+    if reproj is not None:
+        in_bounds = in_bounds & small_motion
+    elif bicubic:
         hx = jnp.clip((prev_uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
         hy = jnp.clip((prev_uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
         hist_mat_s = hist_mat[hy, hx]
@@ -117,7 +127,9 @@ def temporal_filter(color, normal, depth, mat_id, motion,
     # --- blend ---
     if hist_count is not None:
         # reprojected sample count (nearest is fine for count)
-        if bicubic:
+        if reproj is not None:
+            n_prev = jnp.where(ok, n_prev_raw, 0.0)
+        elif bicubic:
             n_prev = jnp.where(ok, hist_count[hy, hx], 0.0)
         else:
             nc = jnp.zeros_like(hist_count)

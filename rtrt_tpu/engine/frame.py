@@ -72,6 +72,32 @@ class FrameStatic(NamedTuple):
     animation: str = "none"   # none | wave — in-jit vertex displacement
 
 
+def _tiled_pixel_order(h: int, w: int, th: int, tw: int):
+    """Row-major -> TILE-MAJOR pixel permutation (trace-time numpy const).
+
+    A packet tile of 2048 consecutive scanline pixels spans the whole image
+    width — its rays cover the full horizontal FOV and the shared-stack
+    traversal visits the union of their node sets (~the entire tree on the
+    terrain scene: measured 2.7 s/frame @1080p).  Ordering rays by (th, tw)
+    pixel BLOCKS makes each tile a compact beam with a small union.
+    Returns (pixel_ids (hp*wp,), untile) — untile(flat) -> (h, w, ...)."""
+    import numpy as np
+    hp = -(-h // th) * th
+    wp = -(-w // tw) * tw
+    yy = np.minimum(np.arange(hp), h - 1)
+    xx = np.minimum(np.arange(wp), w - 1)
+    pid = (yy[:, None] * w + xx[None, :]).astype(np.int32)
+    perm = pid.reshape(hp // th, th, wp // tw, tw) \
+        .transpose(0, 2, 1, 3).reshape(-1)
+
+    def untile(flat):
+        a = flat.reshape((hp // th, wp // tw, th, tw) + flat.shape[1:])
+        a = jnp.moveaxis(a, 2, 1)  # (hp//th, th, wp//tw, tw, ...)
+        return a.reshape((hp, wp) + flat.shape[1:])[:h, :w]
+
+    return perm, untile
+
+
 def compute_smooth_normals(vertices, indices):
     """Area-weighted vertex normals via segment_sum — the atomic-free analog
     of the reference's GenerateSmoothNormals (src/kernel.cu:228-257)."""
@@ -139,12 +165,24 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
                           focal_dist=params.sample.focal_dist)
     basis = camera_basis(cam)
     prev_basis = camera_basis(prev_camera)
-    from ..bvh.packet import TILE
+    # rays in (64, 128)-pixel TILE-MAJOR order: each packet tile is a compact
+    # beam (small traversal union) instead of a full-width scanline strip
+    import numpy as _np
+    perm, untile = _tiled_pixel_order(h, w, 64, 128)
     n_pix = w * h
-    n_pad = -(-n_pix // TILE) * TILE
-    pixel_ids = jnp.minimum(jnp.arange(n_pad, dtype=jnp.int32), n_pix - 1)
-    jitter = rand2(pixel_ids, frame_idx, jnp.uint32(0))
-    lens = rand2(pixel_ids, frame_idx, jnp.uint32(256))
+    pixel_ids = jnp.asarray(perm)
+    # inter-pixel blue-noise sample distribution: per-pixel CP offsets from
+    # the tiled void-and-cluster mask (reference: blueNoiseRandGen.h tiles)
+    if static.flags.blue_noise:
+        from ..render.sampling import blue_offsets_flat, rand2_bn
+        bn_rows = _np.asarray(blue_offsets_flat(w, h, n_pix))
+        bn = jnp.asarray(bn_rows[perm])
+        jitter = rand2_bn(bn, frame_idx, jnp.uint32(0))
+        lens = rand2_bn(bn, frame_idx, jnp.uint32(256))
+    else:
+        bn = None
+        jitter = rand2(pixel_ids, frame_idx, jnp.uint32(0))
+        lens = rand2(pixel_ids, frame_idx, jnp.uint32(256))
     rays = generate_rays_padded(basis, w, h, pixel_ids, jitter, lens)
 
     # ---- path trace: megakernel (one Pallas launch) or wavefront ----
@@ -152,28 +190,31 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
         from ..render.megakernel import path_trace_mega
         gbuf: GBuffer = path_trace_mega(
             scene, rays, pixel_ids, frame_idx, prev_basis, w / h,
-            use_proctex=static.flags.procedural_textures)
+            use_proctex=static.flags.procedural_textures, bn=bn)
     else:
         gbuf: GBuffer = path_trace(
             scene, rays, pixel_ids, frame_idx, prev_basis,
             w / h, max_steps=static.max_traversal_steps,
             use_packets=static.use_packets,
-            use_proctex=static.flags.procedural_textures)
+            use_proctex=static.flags.procedural_textures, bn=bn)
 
-    color = gbuf.color[:n_pix].reshape(h, w, 3)
-    albedo = gbuf.albedo[:n_pix].reshape(h, w, 3)
-    normal = gbuf.normal[:n_pix].reshape(h, w, 3)
-    depth = gbuf.depth[:n_pix].reshape(h, w)
-    mat_id = gbuf.mat_id[:n_pix].reshape(h, w)
-    motion = gbuf.motion[:n_pix].reshape(h, w, 2)
+    color = untile(gbuf.color)
+    albedo = untile(gbuf.albedo)
+    normal = untile(gbuf.normal)
+    depth = untile(gbuf.depth)
+    mat_id = untile(gbuf.mat_id)
+    motion = untile(gbuf.motion)
 
     # ---- SVGF denoise ----
     if static.flags.denoise:
         parity = (frame_idx & 1).astype(jnp.int32)
+        # arbitrary-motion history: Pallas tile-shift on TPU, gather on CPU
+        rep_mode = "tile_shift" if static.use_packets else "gather"
         final, new_history = denoise(color, albedo, normal, depth, mat_id,
                                      motion, state.history, params.denoise,
                                      static.flags,
-                                     frame_parity=parity)
+                                     frame_parity=parity,
+                                     reproject_mode=rep_mode)
     else:
         final = color * albedo
         new_history = state.history
@@ -207,5 +248,15 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
 
 
 def make_frame_fn(static: FrameStatic):
-    """Compile the frame program for a static configuration."""
-    return jax.jit(partial(render_frame, static))
+    """Compile the frame program for a static configuration.
+
+    The scoped-VMEM limit is raised for the megakernel frame: at 1080p XLA
+    elects to keep several of the kernel's (n_tiles,16,128) outputs in VMEM
+    to feed the denoise fusions, which blows the default 16 MiB scoped
+    budget (v5e has 128 MiB physical VMEM — 64 MiB scoped is safe)."""
+    opts = ({"xla_tpu_scoped_vmem_limit_kib": "114688"}
+            if static.use_megakernel else None)
+    try:
+        return jax.jit(partial(render_frame, static), compiler_options=opts)
+    except TypeError:  # older jax without compiler_options
+        return jax.jit(partial(render_frame, static))

@@ -20,11 +20,18 @@ PAD_KEY = jnp.uint32(0xFFFFFFFF)
 def sort_key_index(keys):
     """Sort (..., N) uint keys along the last axis; also return the gather
     indices (`reorder`) mapping sorted position -> original position, the
-    analog of the reference's reorderIdx output."""
+    analog of the reference's reorderIdx output.
+
+    num_keys=2 (the iota is a SECONDARY KEY, not just payload): duplicate
+    morton codes are common, and XLA may duplicate a sort op during
+    optimization with tie orders that DISAGREE between the copies — we
+    observed a constant-folded copy permuting ties differently from the
+    runtime copy, silently building a BVH whose triangle order didn't match
+    its own topology.  Unique composite keys make every copy agree."""
     n = keys.shape[-1]
     iota = jnp.broadcast_to(
         jax.lax.broadcasted_iota(jnp.int32, keys.shape, keys.ndim - 1), keys.shape)
-    sorted_keys, reorder = jax.lax.sort([keys, iota], dimension=-1, num_keys=1)
+    sorted_keys, reorder = jax.lax.sort([keys, iota], dimension=-1, num_keys=2)
     return sorted_keys, reorder
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..ops.resize import downsample4, upscale_catmull_rom
-from ..render.sampling import hash_pcg
+from ..render.sampling import _to_unit_float, hash_pcg
 from ..utils.config import FeatureFlags, PostParams
 from .bloom import bloom
 from .exposure import auto_exposure
@@ -66,12 +66,18 @@ def postprocess(color, exposure_state, dt, sun_uv, sun_visible,
     if flags.sharpen:
         ldr = sharpen(ldr, p.sharpen_amount)
 
-    # --- dither + quantize (reference: CopyToOutput blue-noise dither) ---
+    # --- dither + quantize (reference: CopyToOutput blue-noise dither,
+    # src/kernel.cu:26-59) — the tiled void-and-cluster mask, toroidally
+    # shifted per frame so banding breakup also averages out temporally ---
     if flags.dither:
-        ids = jnp.arange(out_h * out_w, dtype=jnp.uint32).reshape(out_h, out_w)
-        fmix = jnp.asarray(frame_idx).astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
-        noise = (hash_pcg(ids ^ fmix).astype(jnp.float32)
-                 / jnp.float32(2 ** 32) - 0.5) / 255.0
-        ldr = ldr + noise[..., None]
+        from ..render.sampling import blue_noise_mask
+        m = jnp.asarray(blue_noise_mask()[:, :, 0])
+        reps_y = -(-out_h // m.shape[0])
+        reps_x = -(-out_w // m.shape[1])
+        tiled = jnp.tile(m, (reps_y, reps_x))[:out_h, :out_w]
+        fshift = _to_unit_float(
+            hash_pcg(jnp.asarray(frame_idx).astype(jnp.uint32)))
+        noise = (tiled + fshift) % 1.0 - 0.5
+        ldr = ldr + noise[..., None] / 255.0
     u8 = jnp.clip(ldr * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
     return u8, exposure_state

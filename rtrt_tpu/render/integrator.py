@@ -158,8 +158,12 @@ def _material_at(scene: SceneData, mat, pos, ns, cone_width,
 def path_trace(scene: SceneData, rays: Rays, pixel_ids, frame_idx,
                prev_basis: CameraBasis, aspect,
                max_steps: int = 1024, use_packets: bool = True,
-               use_proctex: bool = True) -> GBuffer:
-    """Trace the full bounce program for all rays; returns the G-buffer."""
+               use_proctex: bool = True, bn=None) -> GBuffer:
+    """Trace the full bounce program for all rays; returns the G-buffer.
+
+    bn: optional (N,2) blue-noise CP offsets (sampling.blue_offsets_flat) —
+    switches sampling to the shared-sequence blue-noise-dithered mode
+    (reference: src/blueNoiseRandGen.h inter-pixel distribution)."""
     n = rays.org.shape[0]
     tables = pack_for_packets(scene.bvh, scene.tri_nrm_t, scene.tri_mat) \
         if use_packets else None
@@ -194,7 +198,7 @@ def path_trace(scene: SceneData, rays: Rays, pixel_ids, frame_idx,
     for seg in range(SEGMENTS):
         state = _segment(scene, state, pixel_ids, frame_idx, seg, max_steps,
                          is_last=(seg == SEGMENTS - 1), tables=tables,
-                         use_proctex=use_proctex)
+                         use_proctex=use_proctex, bn=bn)
 
     # ---- deferred environment resolve: ONE analytic eval for all lanes ----
     env = env_radiance_analytic(scene.sky, state["esc_dir"])
@@ -218,7 +222,7 @@ def path_trace(scene: SceneData, rays: Rays, pixel_ids, frame_idx,
 
 
 def _segment(scene: SceneData, s, pixel_ids, frame_idx, seg, max_steps,
-             is_last, tables=None, use_proctex=True):
+             is_last, tables=None, use_proctex=True, bn=None):
     active = ~s["done"]
     t_max = jnp.where(s["done"], 0.0,
                       jnp.where(s["is_shadow"], s["shadow_tmax"], jnp.inf))
@@ -314,9 +318,12 @@ def _segment(scene: SceneData, s, pixel_ids, frame_idx, seg, max_steps,
     # low-discrepancy dims for this bounce (measured: swapping deep-bounce
     # dims to white noise does NOT change frame time — XLA hides the bit
     # mixing — so keep full LD quality everywhere)
-    u_bsdf = rand2(pixel_ids, frame_idx, jnp.uint32(2 + 2 * seg))
-    u_light = rand2(pixel_ids, frame_idx, jnp.uint32(64 + 2 * seg))
-    u_aux = rand2(pixel_ids, frame_idx, jnp.uint32(128 + 2 * seg))
+    from .sampling import rand2_bn
+    ld2 = ((lambda d: rand2_bn(bn, frame_idx, d)) if bn is not None
+           else (lambda d: rand2(pixel_ids, frame_idx, d)))
+    u_bsdf = ld2(jnp.uint32(2 + 2 * seg))
+    u_light = ld2(jnp.uint32(64 + 2 * seg))
+    u_aux = ld2(jnp.uint32(128 + 2 * seg))
     u_sel = u_aux[..., 0]
 
     bs = sample_bsdf(mtype, albedo, rough, ior, f0, ns, wo, s["inside"], u_bsdf)
@@ -327,7 +334,7 @@ def _segment(scene: SceneData, s, pixel_ids, frame_idx, seg, max_steps,
     ls = sample_sun(scene.sky, u_light)
     if scene.lights is not None:
         nl = scene.lights.center.shape[0]
-        pick = rand2(pixel_ids, frame_idx, jnp.uint32(192 + 2 * seg))
+        pick = ld2(jnp.uint32(192 + 2 * seg))
         li = jnp.clip((pick[..., 0] * nl).astype(jnp.int32), 0, nl - 1)
         lsp = sample_sphere_light(scene.lights, li, pos, u_light)
         use_sphere = pick[..., 1] < 0.5

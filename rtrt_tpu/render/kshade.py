@@ -145,6 +145,20 @@ def rand2_c(pixel_id, frame, dim_pair):
     return _to_unit_float(x), _to_unit_float(y)
 
 
+def rand2_bn_c(bnx, bny, frame, dim_pair):
+    """Blue-noise-dithered pair: component twin of sampling.rand2_bn —
+    shared Owen-Sobol sequence + per-pixel CP rotation (bnx/bny mask
+    offsets, passed as dense lane arrays; zero gathers)."""
+    from .sampling import _dim_shift
+    u1, u2 = rand2_c(U32(0), frame, dim_pair)
+    sx, sy = _dim_shift(dim_pair)
+    ox = bnx + sx
+    oy = bny + sy
+    u = u1 + (ox - jnp.floor(ox))
+    v = u2 + (oy - jnp.floor(oy))
+    return u - jnp.floor(u), v - jnp.floor(v)
+
+
 # ---------------------------------------------------------------------------
 # warps (mirror of sampling.py)
 # ---------------------------------------------------------------------------

@@ -37,7 +37,8 @@ from ..bvh.packet import (PACKET_MAX_STEPS, STACK, TILE, TILE_SHAPE,
 from .bsdf import MAT_EMISSIVE
 from .kshade import (MAT_ROW, BsdfSampleC, SunParamsC, V3, bwhere, eval_bsdf_c,
                      material_select_c, orient_normals_c, power_heuristic_c,
-                     rand2_c, ray_sphere_c, sample_bsdf_c, sample_sphere_light_c,
+                     rand2_bn_c, rand2_c, ray_sphere_c, sample_bsdf_c,
+                     sample_sphere_light_c,
                      sample_sun_c, soil_shading_c, sphere_lights_pdf_c, v3_const,
                      vdot, vlum, vwhere)
 
@@ -80,6 +81,7 @@ class ShadeCtx(NamedTuple):
     n_materials: int
     n_lights: int
     use_proctex: bool
+    rand2: Callable = None    # dim -> (u1, u2): per-pixel LD sampler
 
 
 class MegaOut(NamedTuple):
@@ -198,9 +200,9 @@ def shade_segment(st: PathState, hit, ctx: ShadeCtx, pix, frame, seg: int,
     got_primary = st.got_primary | live
 
     # low-discrepancy dims for this bounce (same dims as the integrator)
-    u1b, u2b = rand2_c(pix, frame, jnp.uint32(2 + 2 * seg))
-    ul1, ul2 = rand2_c(pix, frame, jnp.uint32(64 + 2 * seg))
-    u_sel, _ = rand2_c(pix, frame, jnp.uint32(128 + 2 * seg))
+    u1b, u2b = ctx.rand2(jnp.uint32(2 + 2 * seg))
+    ul1, ul2 = ctx.rand2(jnp.uint32(64 + 2 * seg))
+    u_sel, _ = ctx.rand2(jnp.uint32(128 + 2 * seg))
 
     bs: BsdfSampleC = sample_bsdf_c(mtype, albedo, rough, ior, f0, ns, wo,
                                     st.inside, u1b, u2b)
@@ -212,7 +214,7 @@ def shade_segment(st: PathState, hit, ctx: ShadeCtx, pix, frame, seg: int,
     ls_dist = jnp.full(ht.shape, jnp.inf, jnp.float32)
     if ctx.n_lights > 0:
         nl = ctx.n_lights
-        p1, p2 = rand2_c(pix, frame, jnp.uint32(192 + 2 * seg))
+        p1, p2 = ctx.rand2(jnp.uint32(192 + 2 * seg))
         li = jnp.clip((p1 * nl).astype(jnp.int32), 0, nl - 1)
         sp_wi, sp_rad, sp_pdf, sp_dist = sample_sphere_light_c(
             ctx.read_light, nl, li, pos, ul1, ul2)
@@ -314,22 +316,46 @@ def _mega_kernel(sun_ref, frame_ref,
                  nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
                  mat_ref, light_ref,
                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                 cone_ref, pix_ref,
-                 radx_o, rady_o, radz_o, albx_o, alby_o, albz_o,
-                 nrmx_o, nrmy_o, nrmz_o, depth_o, mat_o,
-                 escdx_o, escdy_o, escdz_o, escbx_o, escby_o, escbz_o,
-                 escpdf_o,
-                 stack_ref,
+                 cone_ref, pix_ref, bnx_ref, bny_ref,
+                 out_o,
+                 stack_ref, park_ref,
+                 nodes_f_v, nodes_i_v, tris_v, attr_f_v, attr_i_v,
+                 tdma_sem,
                  *, tlas_internal, n_materials, n_lights, segments,
-                 max_steps, use_proctex):
+                 max_steps, use_proctex, use_bn, interpret=False):
+    # --- stage the BVH/attribute tables into VMEM ONCE (grid step 0) ---
+    # As pipelined VMEM inputs, Mosaic re-copied the whole table set from
+    # HBM on EVERY grid step (~2 s/frame at 1080p when the tables are
+    # runtime-produced).  Here they arrive in ANY (HBM) space and a single
+    # explicit DMA per table lands them in persistent VMEM scratch.
+    @pl.when(pl.program_id(0) == 0)
+    def _copy_tables():
+        pairs = [(nodes_f_ref, nodes_f_v), (nodes_i_ref, nodes_i_v),
+                 (tris_ref, tris_v), (attr_f_ref, attr_f_v),
+                 (attr_i_ref, attr_i_v)]
+        for k, (src, dst) in enumerate(pairs):
+            pltpu.make_async_copy(src, dst, tdma_sem.at[k]).start()
+        for k, (src, dst) in enumerate(pairs):
+            pltpu.make_async_copy(src, dst, tdma_sem.at[k]).wait()
+
+    nodes_f_ref, nodes_i_ref = nodes_f_v, nodes_i_v
+    tris_ref, attr_f_ref, attr_i_ref = tris_v, attr_f_v, attr_i_v
+
     sun = _unpack_sun(lambda i: sun_ref[i])
     frame = frame_ref[0].astype(jnp.uint32)
     pix = pix_ref[0]
+    if use_bn:
+        bnx = bnx_ref[0]
+        bny = bny_ref[0]
+        sampler = lambda d: rand2_bn_c(bnx, bny, frame, d)
+    else:
+        sampler = lambda d: rand2_c(pix, frame, d)
     ctx = ShadeCtx(
         sun=sun,
         read_mat=lambda i: mat_ref[pl.ds(i, 1), :][0],
         read_light=lambda i: light_ref[pl.ds(i, 1), :][0],
-        n_materials=n_materials, n_lights=n_lights, use_proctex=use_proctex)
+        n_materials=n_materials, n_lights=n_lights, use_proctex=use_proctex,
+        rand2=sampler)
 
     st = init_state(V3(ox_ref[0], oy_ref[0], oz_ref[0]),
                     V3(dx_ref[0], dy_ref[0], dz_ref[0]), cone_ref[0])
@@ -337,39 +363,76 @@ def _mega_kernel(sun_ref, frame_ref,
     for seg in range(segments):
         t_cap = jnp.where(st.done, 0.0,
                           jnp.where(st.is_shadow, st.shadow_tmax, jnp.inf))
+
+        # --- park all non-traversal path state in VMEM scratch ---
+        # The traversal while-loop runs ~hundreds of iterations; any value
+        # live ACROSS it would otherwise be spilled/reloaded by the register
+        # allocator every iteration.  Parking makes the hand-off explicit:
+        # one store before, one load after, per segment.
+        fields = (st.beta.x, st.beta.y, st.beta.z,
+                  st.radiance.x, st.radiance.y, st.radiance.z,
+                  st.pending.x, st.pending.y, st.pending.z,
+                  st.shadow_tmax, st.prev_pdf, st.cone,
+                  st.esc_dir.x, st.esc_dir.y, st.esc_dir.z,
+                  st.esc_beta.x, st.esc_beta.y, st.esc_beta.z,
+                  st.esc_pdf,
+                  st.albedo.x, st.albedo.y, st.albedo.z,
+                  st.normal.x, st.normal.y, st.normal.z,
+                  st.depth, st.mat_id.astype(jnp.float32))
+        for k, v in enumerate(fields):
+            park_ref[k] = v
+        bits = (st.done.astype(jnp.int32)
+                | (st.is_shadow.astype(jnp.int32) << 1)
+                | (st.prev_delta.astype(jnp.int32) << 2)
+                | (st.inside.astype(jnp.int32) << 3)
+                | (st.esc_delta.astype(jnp.int32) << 4)
+                | (st.got_primary.astype(jnp.int32) << 5))
+        park_ref[27] = bits.astype(jnp.float32)
+
         hit = traverse_tile(
             nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
             stack_ref, st.org.x, st.org.y, st.org.z,
             st.dir.x, st.dir.y, st.dir.z, t_cap,
-            tlas_internal=tlas_internal, any_hit=False, max_steps=max_steps)
+            tlas_internal=tlas_internal, any_hit=False, max_steps=max_steps,
+            interpret=interpret)
+
+        # --- unpark ---
+        f = [park_ref[k] for k in range(27)]
+        ib = park_ref[27].astype(jnp.int32)
+        st = PathState(
+            org=st.org, dir=st.dir,
+            beta=V3(f[0], f[1], f[2]), radiance=V3(f[3], f[4], f[5]),
+            done=(ib & 1) != 0, is_shadow=(ib & 2) != 0,
+            pending=V3(f[6], f[7], f[8]),
+            shadow_tmax=f[9], prev_pdf=f[10],
+            prev_delta=(ib & 4) != 0, inside=(ib & 8) != 0, cone=f[11],
+            esc_dir=V3(f[12], f[13], f[14]), esc_beta=V3(f[15], f[16], f[17]),
+            esc_pdf=f[18], esc_delta=(ib & 16) != 0,
+            albedo=V3(f[19], f[20], f[21]), normal=V3(f[22], f[23], f[24]),
+            depth=f[25], mat_id=f[26].astype(jnp.int32),
+            got_primary=(ib & 32) != 0)
+
         st = shade_segment(st, hit, ctx, pix, frame, seg,
                            is_last=(seg == segments - 1))
 
-    radx_o[0] = st.radiance.x
-    rady_o[0] = st.radiance.y
-    radz_o[0] = st.radiance.z
-    albx_o[0] = st.albedo.x
-    alby_o[0] = st.albedo.y
-    albz_o[0] = st.albedo.z
-    nrmx_o[0] = st.normal.x
-    nrmy_o[0] = st.normal.y
-    nrmz_o[0] = st.normal.z
-    depth_o[0] = st.depth
-    mat_o[0] = st.mat_id
-    escdx_o[0] = st.esc_dir.x
-    escdy_o[0] = st.esc_dir.y
-    escdz_o[0] = st.esc_dir.z
-    escbx_o[0] = st.esc_beta.x
-    escby_o[0] = st.esc_beta.y
-    escbz_o[0] = st.esc_beta.z
-    escpdf_o[0] = jnp.where(st.esc_delta, -1.0, st.esc_pdf)
+    # single packed output plane-stack (stays in HBM: too big for XLA to
+    # elect into VMEM — see megakernel_trace)
+    planes = (st.radiance.x, st.radiance.y, st.radiance.z,
+              st.albedo.x, st.albedo.y, st.albedo.z,
+              st.normal.x, st.normal.y, st.normal.z,
+              st.depth, st.mat_id.astype(jnp.float32),
+              st.esc_dir.x, st.esc_dir.y, st.esc_dir.z,
+              st.esc_beta.x, st.esc_beta.y, st.esc_beta.z,
+              jnp.where(st.esc_delta, -1.0, st.esc_pdf))
+    for k, v in enumerate(planes):
+        out_o[k, 0] = v
 
 
 def megakernel_trace(tables: PacketTables, mat_rows, light_rows, sun_vec,
                      frame_idx, org, dir, cone, pixel_ids, *,
                      tlas_internal, n_materials, n_lights,
                      segments=SEGMENTS, max_steps=PACKET_MAX_STEPS,
-                     use_proctex=True, interpret=False) -> MegaOut:
+                     use_proctex=True, bn=None, interpret=False) -> MegaOut:
     """Trace full paths for (N,3) primary rays in one Pallas launch.
 
     Pads N to a TILE multiple internally (pad lanes duplicate ray 0 and are
@@ -378,6 +441,9 @@ def megakernel_trace(tables: PacketTables, mat_rows, light_rows, sun_vec,
     pack_sun_params; frame_idx: () uint32/int32 scalar.
     """
     n0 = org.shape[0]
+    use_bn = bn is not None
+    if not use_bn:
+        bn = jnp.zeros((n0, 2), jnp.float32)
     pad = (-n0) % TILE
     if pad:
         org = jnp.concatenate([org, jnp.broadcast_to(org[0], (pad, 3))])
@@ -385,6 +451,7 @@ def megakernel_trace(tables: PacketTables, mat_rows, light_rows, sun_vec,
         cone = jnp.concatenate([cone, jnp.broadcast_to(cone[0], (pad,))])
         pixel_ids = jnp.concatenate(
             [pixel_ids, jnp.broadcast_to(pixel_ids[0], (pad,))])
+        bn = jnp.concatenate([bn, jnp.broadcast_to(bn[0], (pad, 2))])
     n = org.shape[0]
     nt = n // TILE
 
@@ -393,43 +460,58 @@ def megakernel_trace(tables: PacketTables, mat_rows, light_rows, sun_vec,
 
     ray_in = [shape(org[:, 0]), shape(org[:, 1]), shape(org[:, 2]),
               shape(dir[:, 0]), shape(dir[:, 1]), shape(dir[:, 2]),
-              shape(cone), shape(pixel_ids.astype(jnp.int32))]
+              shape(cone), shape(pixel_ids.astype(jnp.int32)),
+              shape(bn[:, 0]), shape(bn[:, 1])]
 
     kernel = functools.partial(
         _mega_kernel, tlas_internal=tlas_internal, n_materials=n_materials,
         n_lights=n_lights, segments=segments, max_steps=max_steps,
-        use_proctex=use_proctex)
+        use_proctex=use_proctex, use_bn=use_bn, interpret=interpret)
 
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    # big tables: ANY (HBM) inputs, staged into VMEM scratch once at grid
+    # step 0 by the kernel itself (see _mega_kernel); small mat/light rows
+    # ride the normal VMEM pipeline
+    table_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 5 \
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
     ray_spec = pl.BlockSpec((1,) + TILE_SHAPE, lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    f32s = jax.ShapeDtypeStruct((nt,) + TILE_SHAPE, jnp.float32)
-    i32s = jax.ShapeDtypeStruct((nt,) + TILE_SHAPE, jnp.int32)
-    # rad3, alb3, nrm3, depth, mat, escd3, escb3, escpdf
-    out_shapes = [f32s] * 9 + [f32s, i32s] + [f32s] * 7
+    # ONE packed (18, nt, 16, 128) output: a single ~150 MB @1080p buffer
+    # that XLA cannot elect into VMEM.  As 18 separate (nt,16,128) outputs,
+    # XLA's allocator kept placing several in scoped VMEM (S(1)) to feed
+    # the consumer fusions, blowing the 16 MiB scoped budget at 1080p.
+    out_spec = pl.BlockSpec((18, 1) + TILE_SHAPE, lambda i: (0, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((18, nt) + TILE_SHAPE, jnp.float32)
 
     outs = pl.pallas_call(
         kernel,
         grid=(nt,),
-        in_specs=[smem_spec, smem_spec] + [table_spec] * 7 + [ray_spec] * 8,
-        out_specs=[ray_spec] * 18,
-        out_shape=out_shapes,
-        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
+        in_specs=[smem_spec, smem_spec] + table_specs + [ray_spec] * 10,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32),
+                        pltpu.VMEM((28,) + TILE_SHAPE, jnp.float32),
+                        pltpu.VMEM(tables.nodes_f32.shape, jnp.float32),
+                        pltpu.VMEM(tables.nodes_i32.shape, jnp.int32),
+                        pltpu.VMEM(tables.tris_f32.shape, jnp.float32),
+                        pltpu.VMEM(tables.attr_f32.shape, jnp.float32),
+                        pltpu.VMEM(tables.attr_i32.shape, jnp.int32),
+                        pltpu.SemaphoreType.DMA((5,))],
         interpret=interpret,
     )(sun_vec, jnp.reshape(frame_idx.astype(jnp.int32), (1,)),
       tables.nodes_f32, tables.nodes_i32, tables.tris_f32,
       tables.attr_f32, tables.attr_i32, mat_rows, light_rows, *ray_in)
 
-    flat = [o.reshape(n)[:n0] for o in outs]
+    flat = [outs[k].reshape(n)[:n0] for k in range(18)]
     (rx, ry, rz, ax, ay, az, nx, ny, nz, depth, mat,
      edx, edy, edz, ebx, eby, ebz, epdf) = flat
     return MegaOut(
         radiance=jnp.stack([rx, ry, rz], axis=-1),
         albedo=jnp.stack([ax, ay, az], axis=-1),
         normal=jnp.stack([nx, ny, nz], axis=-1),
-        depth=depth, mat_id=mat,
+        depth=depth, mat_id=mat.astype(jnp.int32),
         esc_dir=jnp.stack([edx, edy, edz], axis=-1),
         esc_beta=jnp.stack([ebx, eby, ebz], axis=-1),
         esc_pdf=epdf)
@@ -441,7 +523,7 @@ def megakernel_trace(tables: PacketTables, mat_rows, light_rows, sun_vec,
 
 
 def simulate_megakernel(scene, rays, pixel_ids, frame_idx, *,
-                        max_steps=1024, use_proctex=True) -> MegaOut:
+                        max_steps=1024, use_proctex=True, bn=None) -> MegaOut:
     """Run the megakernel's exact shading program under plain XLA, with the
     wavefront traverser standing in for the packet kernel — the CPU oracle
     for tests (same component math, same RNG dims, same masks)."""
@@ -453,17 +535,21 @@ def simulate_megakernel(scene, rays, pixel_ids, frame_idx, *,
     sun_vec = pack_sun_params(scene.sky)
     n_lights = 0 if scene.lights is None else scene.lights.center.shape[0]
     sun = _unpack_sun(lambda i: sun_vec[i])
+    frame = jnp.asarray(frame_idx).astype(jnp.uint32)
+    pix = pixel_ids.astype(jnp.int32)
+    if bn is not None:
+        sampler = lambda d: rand2_bn_c(bn[:, 0], bn[:, 1], frame, d)
+    else:
+        sampler = lambda d: rand2_c(pix, frame, d)
     ctx = ShadeCtx(sun=sun,
                    read_mat=lambda i: mat_rows[i],
                    read_light=lambda i: light_rows[i],
                    n_materials=mat_rows.shape[0], n_lights=n_lights,
-                   use_proctex=use_proctex)
+                   use_proctex=use_proctex, rand2=sampler)
 
     st = init_state(V3(rays.org[:, 0], rays.org[:, 1], rays.org[:, 2]),
                     V3(rays.dir[:, 0], rays.dir[:, 1], rays.dir[:, 2]),
                     rays.cone_width)
-    frame = jnp.asarray(frame_idx).astype(jnp.uint32)
-    pix = pixel_ids.astype(jnp.int32)
 
     for seg in range(SEGMENTS):
         t_cap = jnp.where(st.done, 0.0,
@@ -529,7 +615,7 @@ def finish_gbuffer(scene, rays, out: MegaOut, prev_basis, aspect):
 
 def path_trace_mega(scene, rays, pixel_ids, frame_idx, prev_basis, aspect,
                     max_steps: int = PACKET_MAX_STEPS, use_proctex: bool = True,
-                    interpret: bool = False):
+                    bn=None, interpret: bool = False):
     """Drop-in replacement for integrator.path_trace using the megakernel."""
     from ..bvh.packet import pack_for_packets
     from .kshade import pack_materials_rows
@@ -544,5 +630,6 @@ def path_trace_mega(scene, rays, pixel_ids, frame_idx, prev_basis, aspect,
         rays.org, rays.dir, rays.cone_width, pixel_ids,
         tlas_internal=scene.bvh.tlas_internal,
         n_materials=mat_rows.shape[0], n_lights=n_lights,
-        max_steps=max_steps, use_proctex=use_proctex, interpret=interpret)
+        max_steps=max_steps, use_proctex=use_proctex, bn=bn,
+        interpret=interpret)
     return finish_gbuffer(scene, rays, out, prev_basis, aspect)

@@ -161,6 +161,72 @@ def white2(pixel_id, frame, dim_pair):
 
 
 # ---------------------------------------------------------------------------
+# inter-pixel blue-noise sample distribution
+# (reference: src/blueNoiseRandGen.h:75-156 — Heitz-Belcour scrambling/
+#  ranking tiles.  Our mechanism: ONE shared Owen-Sobol sequence for all
+#  pixels + a per-pixel Cranley-Patterson rotation drawn from a 64x64
+#  void-and-cluster mask (Georgiev-Fajardo blue-noise dithered sampling).
+#  For smooth integrands the 1-spp error then inherits the mask's blue
+#  spectrum between pixels — the property the 1-spp denoiser feeds on.)
+# ---------------------------------------------------------------------------
+
+_BN_CACHE = None
+
+
+def blue_noise_mask():
+    """(64, 64, 2) float32 toroidal rank masks (tools/bluenoise_gen.py)."""
+    global _BN_CACHE
+    if _BN_CACHE is None:
+        import os
+
+        import numpy as np
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), "resources",
+            "bluenoise64.npy")
+        _BN_CACHE = np.load(path)
+    return _BN_CACHE
+
+
+def blue_offsets_flat(w: int, h: int, n_pad: int):
+    """Per-pixel CP offsets for a row-major (h, w) image, padded to n_pad
+    rays: (n_pad, 2) f32 NUMPY array (a trace-time constant — returning
+    numpy keeps callers free to re-permute it host-side before upload).
+    Pure tiling — no gathers anywhere."""
+    import numpy as np
+    m = blue_noise_mask()
+    reps_y = -(-h // m.shape[0])
+    reps_x = -(-w // m.shape[1])
+    full = np.tile(m, (reps_y, reps_x, 1))[:h, :w]
+    flat = full.reshape(h * w, 2)
+    if n_pad > h * w:
+        flat = np.concatenate(
+            [flat, np.broadcast_to(flat[-1], (n_pad - h * w, 2))])
+    return np.ascontiguousarray(flat)
+
+
+def _dim_shift(dim_pair):
+    """Per-dimension toroidal decorrelation of the shared mask (a hashed
+    [0,1)^2 shift per dim pair — pointwise, table-free)."""
+    d = _u32(dim_pair)
+    return (_to_unit_float(hash_pcg(d ^ U32(0xA511E9B3))),
+            _to_unit_float(hash_pcg(d ^ U32(0x63D83595))))
+
+
+def rand2_bn(bn2, frame, dim_pair):
+    """Blue-noise-dithered LD pair: shared sequence, per-pixel CP rotation.
+
+    bn2: (..., 2) mask offsets from `blue_offsets_flat`.  Matches
+    kshade.rand2_bn_c component-for-component (the megakernel twin)."""
+    base = sobol_owen_2d(frame, pixel_seed(U32(0), dim_pair))
+    sx, sy = _dim_shift(dim_pair)
+    ox = bn2[..., 0] + sx
+    oy = bn2[..., 1] + sy
+    u = base[..., 0] + (ox - jnp.floor(ox))
+    v = base[..., 1] + (oy - jnp.floor(oy))
+    return jnp.stack([u - jnp.floor(u), v - jnp.floor(v)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
 # geometric warps (reference: src/bsdf.cuh:69-103, :300-331; raygen.cuh:17-38)
 # ---------------------------------------------------------------------------
 

@@ -109,6 +109,7 @@ class FeatureFlags:
     textures: bool = True
     procedural_textures: bool = True  # analytic noise (zero-gather) vs mips
     rebuild_bvh_every_frame: bool = True
+    blue_noise: bool = True  # inter-pixel blue-noise sample distribution
 
 
 # ---------------------------------------------------------------------------
