@@ -322,13 +322,19 @@ def _mega_kernel(sun_ref, frame_ref,
                  nodes_f_v, nodes_i_v, tris_v, attr_f_v, attr_i_v,
                  tdma_sem,
                  *, tlas_internal, n_materials, n_lights, segments,
-                 max_steps, use_proctex, use_bn, interpret=False):
+                 max_steps, use_proctex, use_bn, img_mode,
+                 debug_steps=False, interpret=False):
     # --- stage the BVH/attribute tables into VMEM ONCE (grid step 0) ---
     # As pipelined VMEM inputs, Mosaic re-copied the whole table set from
     # HBM on EVERY grid step (~2 s/frame at 1080p when the tables are
     # runtime-produced).  Here they arrive in ANY (HBM) space and a single
     # explicit DMA per table lands them in persistent VMEM scratch.
-    @pl.when(pl.program_id(0) == 0)
+    if img_mode:
+        step0 = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    else:
+        step0 = pl.program_id(0) == 0
+
+    @pl.when(step0)
     def _copy_tables():
         pairs = [(nodes_f_ref, nodes_f_v), (nodes_i_ref, nodes_i_v),
                  (tris_ref, tris_v), (attr_f_ref, attr_f_v),
@@ -343,10 +349,10 @@ def _mega_kernel(sun_ref, frame_ref,
 
     sun = _unpack_sun(lambda i: sun_ref[i])
     frame = frame_ref[0].astype(jnp.uint32)
-    pix = pix_ref[0]
+    pix = pix_ref[...] if img_mode else pix_ref[0]
     if use_bn:
-        bnx = bnx_ref[0]
-        bny = bny_ref[0]
+        bnx = bnx_ref[...] if img_mode else bnx_ref[0]
+        bny = bny_ref[...] if img_mode else bny_ref[0]
         sampler = lambda d: rand2_bn_c(bnx, bny, frame, d)
     else:
         sampler = lambda d: rand2_c(pix, frame, d)
@@ -357,9 +363,11 @@ def _mega_kernel(sun_ref, frame_ref,
         n_materials=n_materials, n_lights=n_lights, use_proctex=use_proctex,
         rand2=sampler)
 
-    st = init_state(V3(ox_ref[0], oy_ref[0], oz_ref[0]),
-                    V3(dx_ref[0], dy_ref[0], dz_ref[0]), cone_ref[0])
+    rd = (lambda r: r[...]) if img_mode else (lambda r: r[0])
+    st = init_state(V3(rd(ox_ref), rd(oy_ref), rd(oz_ref)),
+                    V3(rd(dx_ref), rd(dy_ref), rd(dz_ref)), rd(cone_ref))
 
+    total_steps = jnp.int32(0)
     for seg in range(segments):
         t_cap = jnp.where(st.done, 0.0,
                           jnp.where(st.is_shadow, st.shadow_tmax, jnp.inf))
@@ -395,6 +403,8 @@ def _mega_kernel(sun_ref, frame_ref,
             st.dir.x, st.dir.y, st.dir.z, t_cap,
             tlas_internal=tlas_internal, any_hit=False, max_steps=max_steps,
             interpret=interpret)
+        total_steps = total_steps + hit[-1]
+        hit = hit[:-1]
 
         # --- unpark ---
         f = [park_ref[k] for k in range(27)]
@@ -417,22 +427,32 @@ def _mega_kernel(sun_ref, frame_ref,
 
     # single packed output plane-stack (stays in HBM: too big for XLA to
     # elect into VMEM — see megakernel_trace)
+    esc_pdf_plane = jnp.where(st.esc_delta, -1.0, st.esc_pdf)
+    if debug_steps:
+        # profiling mode: overwrite the esc_pdf plane with the tile's total
+        # traversal step count (uniform across the tile)
+        esc_pdf_plane = jnp.full(esc_pdf_plane.shape,
+                                 total_steps.astype(jnp.float32))
     planes = (st.radiance.x, st.radiance.y, st.radiance.z,
               st.albedo.x, st.albedo.y, st.albedo.z,
               st.normal.x, st.normal.y, st.normal.z,
               st.depth, st.mat_id.astype(jnp.float32),
               st.esc_dir.x, st.esc_dir.y, st.esc_dir.z,
               st.esc_beta.x, st.esc_beta.y, st.esc_beta.z,
-              jnp.where(st.esc_delta, -1.0, st.esc_pdf))
+              esc_pdf_plane)
     for k, v in enumerate(planes):
-        out_o[k, 0] = v
+        if img_mode:
+            out_o[k] = v
+        else:
+            out_o[k, 0] = v
 
 
 def megakernel_trace(tables: PacketTables, mat_rows, light_rows, sun_vec,
                      frame_idx, org, dir, cone, pixel_ids, *,
                      tlas_internal, n_materials, n_lights,
                      segments=SEGMENTS, max_steps=PACKET_MAX_STEPS,
-                     use_proctex=True, bn=None, interpret=False) -> MegaOut:
+                     use_proctex=True, bn=None, debug_steps=False,
+                     interpret=False) -> MegaOut:
     """Trace full paths for (N,3) primary rays in one Pallas launch.
 
     Pads N to a TILE multiple internally (pad lanes duplicate ray 0 and are
@@ -440,33 +460,66 @@ def megakernel_trace(tables: PacketTables, mat_rows, light_rows, sun_vec,
     light_rows: (L, 8) from pack_light_rows; sun_vec: (16,) from
     pack_sun_params; frame_idx: () uint32/int32 scalar.
     """
-    n0 = org.shape[0]
+    img_mode = org.ndim == 3  # (hp, wp, 3) image inputs vs flat (N, 3)
     use_bn = bn is not None
     if not use_bn:
-        bn = jnp.zeros((n0, 2), jnp.float32)
-    pad = (-n0) % TILE
-    if pad:
-        org = jnp.concatenate([org, jnp.broadcast_to(org[0], (pad, 3))])
-        dir = jnp.concatenate([dir, jnp.broadcast_to(dir[0], (pad, 3))])
-        cone = jnp.concatenate([cone, jnp.broadcast_to(cone[0], (pad,))])
-        pixel_ids = jnp.concatenate(
-            [pixel_ids, jnp.broadcast_to(pixel_ids[0], (pad,))])
-        bn = jnp.concatenate([bn, jnp.broadcast_to(bn[0], (pad, 2))])
-    n = org.shape[0]
-    nt = n // TILE
+        bn = jnp.zeros(org.shape[:-1] + (2,), jnp.float32)
 
-    def shape(x):
-        return x.reshape((nt,) + TILE_SHAPE)
+    if img_mode:
+        # IMAGE route (the product path): grid over (64,128)-pixel blocks;
+        # the BlockSpec index maps do the ray tiling AND un-tiling — no
+        # host-side permutation, no reshape/transpose relayouts that would
+        # poison the denoise chain's layouts downstream (ROADMAP fact #6:
+        # measured 3x88 ms of relayout'd stencil fusions at 1080p).
+        hp, wp = org.shape[0], org.shape[1]
+        assert hp % TILE_SHAPE[0] == 0 and wp % TILE_SHAPE[1] == 0
+        grid = (hp // TILE_SHAPE[0], wp // TILE_SHAPE[1])
+        ray_spec = pl.BlockSpec(TILE_SHAPE, lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((18,) + TILE_SHAPE, lambda i, j: (0, i, j),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((18, hp, wp), jnp.float32)
+        ray_in = [org[..., 0], org[..., 1], org[..., 2],
+                  dir[..., 0], dir[..., 1], dir[..., 2],
+                  cone, pixel_ids.astype(jnp.int32),
+                  bn[..., 0], bn[..., 1]]
+        n0 = None
+    else:
+        n0 = org.shape[0]
+        pad = (-n0) % TILE
+        if pad:
+            org = jnp.concatenate([org, jnp.broadcast_to(org[0], (pad, 3))])
+            dir = jnp.concatenate([dir, jnp.broadcast_to(dir[0], (pad, 3))])
+            cone = jnp.concatenate([cone, jnp.broadcast_to(cone[0], (pad,))])
+            pixel_ids = jnp.concatenate(
+                [pixel_ids, jnp.broadcast_to(pixel_ids[0], (pad,))])
+            bn = jnp.concatenate([bn, jnp.broadcast_to(bn[0], (pad, 2))])
+        n = org.shape[0]
+        nt = n // TILE
 
-    ray_in = [shape(org[:, 0]), shape(org[:, 1]), shape(org[:, 2]),
-              shape(dir[:, 0]), shape(dir[:, 1]), shape(dir[:, 2]),
-              shape(cone), shape(pixel_ids.astype(jnp.int32)),
-              shape(bn[:, 0]), shape(bn[:, 1])]
+        def shape(x):
+            return x.reshape((nt,) + TILE_SHAPE)
+
+        ray_in = [shape(org[:, 0]), shape(org[:, 1]), shape(org[:, 2]),
+                  shape(dir[:, 0]), shape(dir[:, 1]), shape(dir[:, 2]),
+                  shape(cone), shape(pixel_ids.astype(jnp.int32)),
+                  shape(bn[:, 0]), shape(bn[:, 1])]
+        grid = (nt,)
+        ray_spec = pl.BlockSpec((1,) + TILE_SHAPE, lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        # ONE packed plane-stack output: a single big buffer XLA won't
+        # elect into scoped VMEM (18 separate outputs kept getting S(1)
+        # placements that blew the scoped budget at 1080p)
+        out_spec = pl.BlockSpec((18, 1) + TILE_SHAPE,
+                                lambda i: (0, i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((18, nt) + TILE_SHAPE, jnp.float32)
 
     kernel = functools.partial(
         _mega_kernel, tlas_internal=tlas_internal, n_materials=n_materials,
         n_lights=n_lights, segments=segments, max_steps=max_steps,
-        use_proctex=use_proctex, use_bn=use_bn, interpret=interpret)
+        use_proctex=use_proctex, use_bn=use_bn, img_mode=img_mode,
+        debug_steps=debug_steps, interpret=interpret)
 
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     # big tables: ANY (HBM) inputs, staged into VMEM scratch once at grid
@@ -474,20 +527,10 @@ def megakernel_trace(tables: PacketTables, mat_rows, light_rows, sun_vec,
     # ride the normal VMEM pipeline
     table_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 5 \
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
-    ray_spec = pl.BlockSpec((1,) + TILE_SHAPE, lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    # ONE packed (18, nt, 16, 128) output: a single ~150 MB @1080p buffer
-    # that XLA cannot elect into VMEM.  As 18 separate (nt,16,128) outputs,
-    # XLA's allocator kept placing several in scoped VMEM (S(1)) to feed
-    # the consumer fusions, blowing the 16 MiB scoped budget at 1080p.
-    out_spec = pl.BlockSpec((18, 1) + TILE_SHAPE, lambda i: (0, i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((18, nt) + TILE_SHAPE, jnp.float32)
 
     outs = pl.pallas_call(
         kernel,
-        grid=(nt,),
+        grid=grid,
         in_specs=[smem_spec, smem_spec] + table_specs + [ray_spec] * 10,
         out_specs=out_spec,
         out_shape=out_shape,
@@ -504,7 +547,10 @@ def megakernel_trace(tables: PacketTables, mat_rows, light_rows, sun_vec,
       tables.nodes_f32, tables.nodes_i32, tables.tris_f32,
       tables.attr_f32, tables.attr_i32, mat_rows, light_rows, *ray_in)
 
-    flat = [outs[k].reshape(n)[:n0] for k in range(18)]
+    if img_mode:
+        flat = [outs[k] for k in range(18)]
+    else:
+        flat = [outs[k].reshape(n)[:n0] for k in range(18)]
     (rx, ry, rz, ax, ay, az, nx, ny, nz, depth, mat,
      edx, edy, edz, ebx, eby, ebz, epdf) = flat
     return MegaOut(
