@@ -131,9 +131,10 @@ def traverse_tile(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
     once per bounce segment with the stack scratch it owns).
 
     ox..dz/t_cap: (sublane, lane) component arrays; stack_ref: SMEM (STACK,)
-    i32 scratch.  Returns the 11-tuple
-      (t, tri, u, v, mat, nsx, nsy, nsz, ngx, ngy, ngz)
-    with t = +inf where tri < 0 (miss).
+    i32 scratch.  Returns the 12-tuple
+      (t, tri, u, v, mat, nsx, nsy, nsz, ngx, ngy, ngz, steps)
+    with t = +inf where tri < 0 (miss); steps = scalar i32 loop count
+    (profiling: tools/profile_frame.py --trace-steps).
     """
     tiny = jnp.float32(1e-20)
     sdx = jnp.where(jnp.abs(dx) < tiny, jnp.where(dx >= 0, tiny, -tiny), dx)
@@ -338,9 +339,9 @@ def traverse_tile(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
 
     out = jax.lax.while_loop(cond, step, init)
     (_, best_t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz,
-     _, _) = out
+     steps, _) = out
     return (jnp.where(tri >= 0, best_t, jnp.inf), tri, uo, vo, mat,
-            nsx, nsy, nsz, ngx, ngy, ngz)
+            nsx, nsy, nsz, ngx, ngy, ngz, steps)
 
 
 def _kernel(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
@@ -366,7 +367,7 @@ def _kernel(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
             for k, (src, dst) in enumerate(pairs):
                 pltpu.make_async_copy(src, dst, tdma_sem.at[k]).wait()
 
-        (t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz) = traverse_tile(
+        (t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz, _) = traverse_tile(
             nodes_f_v, nodes_i_v, tris_v, attr_f_v, attr_i_v,
             stack_ref, ox_ref[0], oy_ref[0], oz_ref[0],
             dx_ref[0], dy_ref[0], dz_ref[0], tmax_ref[0],

@@ -243,7 +243,10 @@ class HalfedgeMesh:
     # ------------------------------------------------------------------
 
     def subdivide(self, mode: str = "loop"):
-        """mode: 'linear' (midpoint), 'loop' (smooth).  1:4 split."""
+        """mode: 'linear' (midpoint), 'loop' (smooth) — 1:4 split — or
+        'catmull_clark' (quad-based, reference meshedit.cpp:368)."""
+        if mode == "catmull_clark":
+            return self.subdivide_catmull_clark()
         verts, tris = self.to_triangles()
         nv = len(verts)
         edge_mid = {}
@@ -284,6 +287,92 @@ class HalfedgeMesh:
             ca = edge_mid[(min(c, a), max(c, a))]
             newt += [(a, ab, ca), (ab, b, bc), (ca, bc, c), (ab, bc, ca)]
         self._rebuild(np.asarray(new_verts, np.float32), newt)
+
+    def subdivide_catmull_clark(self):
+        """Catmull-Clark subdivision (reference: meshedit.cpp:368).
+
+        Computes the classic face/edge/vertex points and replaces each
+        n-gon with n quads; the quads are stored triangulated (this
+        structure is triangle-backed), matching the reference's
+        subdivide-then-triangulate pipeline (meshedit.cpp:368 + :275).
+        Boundary rules: edge point = midpoint; boundary vertex =
+        (1/8, 3/4, 1/8) along the boundary curve."""
+        verts, tris = self.to_triangles()
+        verts = [np.asarray(v, np.float64) for v in verts]
+        nv = len(verts)
+
+        # adjacency
+        edge_faces = {}
+        v_faces = [[] for _ in range(nv)]
+        v_edges = [set() for _ in range(nv)]
+        for f, (a, b, c) in enumerate(tris):
+            for (u, v) in ((a, b), (b, c), (c, a)):
+                key = (min(u, v), max(u, v))
+                edge_faces.setdefault(key, []).append(f)
+                v_edges[u].add(key)
+                v_edges[v].add(key)
+            for u in (a, b, c):
+                v_faces[u].append(f)
+
+        # 1. face points: centroid of each face
+        face_pt = [(verts[a] + verts[b] + verts[c]) / 3.0
+                   for (a, b, c) in tris]
+        # 2. edge points
+        edge_pt = {}
+        for key, fs in edge_faces.items():
+            a, b = key
+            mid = (verts[a] + verts[b]) * 0.5
+            if len(fs) == 2:  # interior: avg of endpoints + face points
+                edge_pt[key] = (verts[a] + verts[b]
+                                + face_pt[fs[0]] + face_pt[fs[1]]) * 0.25
+            else:             # boundary: midpoint
+                edge_pt[key] = mid
+        # 3. vertex points: (Q + 2R + (n-3)S)/n, boundary = crease rule
+        new_pos = []
+        for i in range(nv):
+            bnd = [k for k in v_edges[i] if len(edge_faces[k]) == 1]
+            if bnd:
+                s = verts[i] * 0.75
+                for k in bnd[:2]:
+                    a, b = k
+                    other = b if a == i else a
+                    s = s + verts[other] * (0.125 if len(bnd) >= 2 else 0.25)
+                new_pos.append(s)
+                continue
+            n = len(v_edges[i])
+            if n == 0:
+                new_pos.append(verts[i])
+                continue
+            q = sum(face_pt[f] for f in v_faces[i]) / max(len(v_faces[i]), 1)
+            r = sum((verts[a] + verts[b]) * 0.5
+                    for (a, b) in v_edges[i]) / n
+            new_pos.append((q + 2.0 * r + (n - 3.0) * verts[i]) / n)
+
+        # assemble: new verts = vertex points | edge points | face points
+        out_verts = list(new_pos)
+        e_idx = {}
+        for key in edge_faces:
+            e_idx[key] = len(out_verts)
+            out_verts.append(edge_pt[key])
+        f_idx = []
+        for f in range(len(tris)):
+            f_idx.append(len(out_verts))
+            out_verts.append(face_pt[f])
+        # each triangle (a,b,c) -> 3 quads, each stored as 2 triangles
+        newt = []
+        for f, (a, b, c) in enumerate(tris):
+            fp = f_idx[f]
+            loop = (a, b, c)
+            for k in range(3):
+                v = loop[k]
+                e_next = e_idx[(min(v, loop[(k + 1) % 3]),
+                                max(v, loop[(k + 1) % 3]))]
+                e_prev = e_idx[(min(loop[(k + 2) % 3], v),
+                                max(loop[(k + 2) % 3], v))]
+                # quad (v, e_next, fp, e_prev), triangulated
+                newt.append((v, e_next, fp))
+                newt.append((v, fp, e_prev))
+        self._rebuild(np.asarray(out_verts, np.float32), newt)
 
     def triangulate(self):
         """No-op for triangle meshes; present for API parity

@@ -37,14 +37,18 @@ class DenoiseHistory(NamedTuple):
     count: jnp.ndarray = None  # (H,W) accumulated samples (disocclusion-reset)
 
 
-def init_history(h: int, w: int) -> DenoiseHistory:
+def init_history(h: int, w: int, half: bool = True) -> DenoiseHistory:
+    """half=True stores color/color2/depth/count as bf16 (must match
+    FeatureFlags.half_history so the steady-state dtypes equal the initial
+    ones — otherwise frame 2 would recompile)."""
+    dt = jnp.bfloat16 if half else jnp.float32
     return DenoiseHistory(
-        color=jnp.zeros((h, w, 3), jnp.float32),
-        color2=jnp.zeros((h, w, 3), jnp.float32),
-        depth=jnp.full((h, w), jnp.inf, jnp.float32),
+        color=jnp.zeros((h, w, 3), dt),
+        color2=jnp.zeros((h, w, 3), dt),
+        depth=jnp.full((h, w), jnp.inf, dt),
         mat_id=jnp.full((h, w), -1, jnp.int32),
         valid=jnp.asarray(False),
-        count=jnp.zeros((h, w), jnp.float32),
+        count=jnp.zeros((h, w), dt),
     )
 
 
@@ -60,6 +64,15 @@ def denoise(color, albedo, normal, depth, mat_id, motion,
     Returns (final_color_with_albedo, new_history).
     """
     c = color
+    # bf16 history storage (reference: half-precision history surfaces,
+    # src/fp16Utils.cuh, init.cu:473-500): halves persistent-buffer HBM
+    # traffic; all filter math stays f32 (upcast on read, cast on store)
+    if history.color.dtype != jnp.float32:
+        history = history._replace(
+            color=history.color.astype(jnp.float32),
+            color2=history.color2.astype(jnp.float32),
+            depth=history.depth.astype(jnp.float32),
+            count=history.count.astype(jnp.float32))
     new_count = history.count
 
     rep1 = rep2 = None
@@ -99,7 +112,8 @@ def denoise(color, albedo, normal, depth, mat_id, motion,
                                     stride)
 
     # remodulate albedo (reference: ApplyAlbedo, denoising.cu:160-163)
-    c = c * albedo
+    from ..utils.debug import nan_guard
+    c = nan_guard(c * albedo, "denoise.remodulated")
 
     if flags.second_temporal:
         c, _ = temporal_filter(c, normal, depth, mat_id, motion,
@@ -108,7 +122,10 @@ def denoise(color, albedo, normal, depth, mat_id, motion,
                                hist_count=history.count, reproj=rep2)
     hist_color2 = c
 
+    store = ((lambda x: x.astype(jnp.bfloat16)) if flags.half_history
+             else (lambda x: x))
     new_history = DenoiseHistory(
-        color=hist_color, color2=hist_color2, depth=depth, mat_id=mat_id,
-        valid=jnp.asarray(True), count=new_count)
+        color=store(hist_color), color2=store(hist_color2),
+        depth=store(depth), mat_id=mat_id,
+        valid=jnp.asarray(True), count=store(new_count))
     return c, new_history

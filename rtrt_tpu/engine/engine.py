@@ -117,7 +117,7 @@ class Engine:
         self.state = FrameState(
             vertices=jnp.asarray(self.scene.vertices),
             normals=jnp.asarray(self.scene.normals),
-            history=init_history(1, 1),  # re-inited per bucket below
+            history=init_history(1, 1, half=self.flags.half_history),  # re-inited per bucket below
             exposure=init_exposure_state(),
             frame_idx=jnp.uint32(0),
             time=jnp.float32(0.0),
@@ -152,11 +152,13 @@ class Engine:
             use_megakernel=(_tpu_available()
                             and os.environ.get("RTRT_MEGAKERNEL", "1") != "0"),
             animation=self.animation)
+        self._static = static
         if bucket_h not in self._frame_fns:
             self._frame_fns[bucket_h] = make_frame_fn(static)
         # history buffers are resolution-dependent — reset on switch
         self.state = self.state._replace(
-            history=init_history(self.render_h, self.render_w))
+            history=init_history(self.render_h, self.render_w,
+                                 half=self.flags.half_history))
 
     def _dynamic_resolution_step(self, frame_time: float):
         """Scale the bucket to hold the target frame time
@@ -210,11 +212,7 @@ class Engine:
         self._maybe_regen_sky()
 
         fn = self._frame_fns[self._cur_bucket]
-        image, new_state = fn(self.indices, self.tri_mat, self.valid,
-                              self.materials, self.textures, self.sky,
-                              self.lights, self.state, self.camera,
-                              self.prev_camera, self.params,
-                              jnp.float32(max(dt, 1e-4)))
+        image, new_state = fn(*self._frame_args(dt))
         self.state = new_state
         self.prev_camera = self.camera
         self._dynamic_resolution_step(dt)
@@ -225,6 +223,14 @@ class Engine:
     def render_frame(self, dt: float | None = None) -> np.ndarray:
         """Render one frame; returns (screen_h, screen_w, 3) uint8 on host."""
         return np.asarray(self.render_frame_device(dt))
+
+    def _frame_args(self, dt: float):
+        """The positional argument tuple for the current frame function
+        (also consumed by tools/profile_frame.py's stage cuts)."""
+        return (self.indices, self.tri_mat, self.valid, self.materials,
+                self.textures, self.sky, self.lights, self.state,
+                self.camera, self.prev_camera, self.params,
+                jnp.float32(max(dt, 1e-4)))
 
     # ------------------------------------------------------------------
     # input control (reference: src/inputControl.cu:29-113)

@@ -70,32 +70,11 @@ class FrameStatic(NamedTuple):
     use_packets: bool = True  # Pallas packet kernel (TPU); False = XLA loop
     use_megakernel: bool = False  # whole bounce program in ONE Pallas kernel
     animation: str = "none"   # none | wave — in-jit vertex displacement
-
-
-def _tiled_pixel_order(h: int, w: int, th: int, tw: int):
-    """Row-major -> TILE-MAJOR pixel permutation (trace-time numpy const).
-
-    A packet tile of 2048 consecutive scanline pixels spans the whole image
-    width — its rays cover the full horizontal FOV and the shared-stack
-    traversal visits the union of their node sets (~the entire tree on the
-    terrain scene: measured 2.7 s/frame @1080p).  Ordering rays by (th, tw)
-    pixel BLOCKS makes each tile a compact beam with a small union.
-    Returns (pixel_ids (hp*wp,), untile) — untile(flat) -> (h, w, ...)."""
-    import numpy as np
-    hp = -(-h // th) * th
-    wp = -(-w // tw) * tw
-    yy = np.minimum(np.arange(hp), h - 1)
-    xx = np.minimum(np.arange(wp), w - 1)
-    pid = (yy[:, None] * w + xx[None, :]).astype(np.int32)
-    perm = pid.reshape(hp // th, th, wp // tw, tw) \
-        .transpose(0, 2, 1, 3).reshape(-1)
-
-    def untile(flat):
-        a = flat.reshape((hp // th, wp // tw, th, tw) + flat.shape[1:])
-        a = jnp.moveaxis(a, 2, 1)  # (hp//th, th, wp//tw, tw, ...)
-        return a.reshape((hp, wp) + flat.shape[1:])[:h, :w]
-
-    return perm, untile
+    stop_after: str = "full"  # full | bvh | trace | denoise — profiling
+    #   harness cut points: the frame program ends after the named stage so
+    #   stage cost = t(stage_k) - t(stage_{k-1}).  The reference gets this
+    #   for free from its per-stage cudaDeviceSynchronize
+    #   (src/kernel.cu:282-396); the fused XLA frame needs deliberate cuts.
 
 
 def compute_smooth_normals(vertices, indices):
@@ -148,6 +127,8 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
     tri_nrm_t = jnp.concatenate(
         [nrm[flat_idx[:, 0]].T, nrm[flat_idx[:, 1]].T,
          nrm[flat_idx[:, 2]].T], axis=0)  # (9, T) column-major
+    if static.stop_after == "bvh":
+        return (bvh.boxes_t, bvh.children_t, bvh.tris_t, tri_nrm_t), state
     scene = SceneData(
         bvh=bvh,
         tri_nrm_t=tri_nrm_t,
@@ -165,18 +146,37 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
                           focal_dist=params.sample.focal_dist)
     basis = camera_basis(cam)
     prev_basis = camera_basis(prev_camera)
-    # rays in (64, 128)-pixel TILE-MAJOR order: each packet tile is a compact
-    # beam (small traversal union) instead of a full-width scanline strip
     import numpy as _np
-    perm, untile = _tiled_pixel_order(h, w, 64, 128)
+    from ..bvh.packet import TILE, TILE_SHAPE
     n_pix = w * h
-    pixel_ids = jnp.asarray(perm)
+    if static.use_megakernel:
+        # IMAGE-NATIVE route: rays, blue-noise offsets and G-buffer all stay
+        # (hp, wp) images; the megakernel's 2D grid + BlockSpecs handle the
+        # (64,128)-pixel-block tiling — zero host-side permutes/relayouts
+        th, tw = TILE_SHAPE
+        hp = -(-h // th) * th
+        wp = -(-w // tw) * tw
+        yy = jnp.minimum(jnp.arange(hp, dtype=jnp.int32), h - 1)
+        xx = jnp.minimum(jnp.arange(wp, dtype=jnp.int32), w - 1)
+        pixel_ids = yy[:, None] * w + xx[None, :]       # (hp, wp)
+    else:
+        hp = wp = None
+        n_pad = -(-n_pix // TILE) * TILE
+        pixel_ids = jnp.minimum(jnp.arange(n_pad, dtype=jnp.int32),
+                                n_pix - 1)
     # inter-pixel blue-noise sample distribution: per-pixel CP offsets from
     # the tiled void-and-cluster mask (reference: blueNoiseRandGen.h tiles)
     if static.flags.blue_noise:
         from ..render.sampling import blue_offsets_flat, rand2_bn
-        bn_rows = _np.asarray(blue_offsets_flat(w, h, n_pix))
-        bn = jnp.asarray(bn_rows[perm])
+        rows = blue_offsets_flat(w, h, n_pix).reshape(h, w, 2)
+        if static.use_megakernel:
+            bn = jnp.asarray(_np.pad(
+                rows, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge"))
+        else:
+            flat = rows.reshape(n_pix, 2)
+            bn = jnp.asarray(_np.concatenate(
+                [flat, _np.broadcast_to(flat[-1], (n_pad - n_pix, 2))])
+                if n_pad > n_pix else flat)
         jitter = rand2_bn(bn, frame_idx, jnp.uint32(0))
         lens = rand2_bn(bn, frame_idx, jnp.uint32(256))
     else:
@@ -191,19 +191,27 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
         gbuf: GBuffer = path_trace_mega(
             scene, rays, pixel_ids, frame_idx, prev_basis, w / h,
             use_proctex=static.flags.procedural_textures, bn=bn)
+        crop = lambda x: x[:h, :w]
     else:
         gbuf: GBuffer = path_trace(
             scene, rays, pixel_ids, frame_idx, prev_basis,
             w / h, max_steps=static.max_traversal_steps,
             use_packets=static.use_packets,
             use_proctex=static.flags.procedural_textures, bn=bn)
+        crop = lambda x: x[:n_pix].reshape((h, w) + x.shape[1:])
 
-    color = untile(gbuf.color)
-    albedo = untile(gbuf.albedo)
-    normal = untile(gbuf.normal)
-    depth = untile(gbuf.depth)
-    mat_id = untile(gbuf.mat_id)
-    motion = untile(gbuf.motion)
+    # live NaN guards in the hot path under RTRT_DEBUG=1 (the reference
+    # wires NAN_DETECTER into its hot kernels, src/pathtrace.cuh:113-117);
+    # no-ops (and identical programs) when the flag is off
+    from ..utils.debug import nan_guard
+    color = nan_guard(crop(gbuf.color), "trace.radiance")
+    albedo = nan_guard(crop(gbuf.albedo), "trace.albedo")
+    normal = nan_guard(crop(gbuf.normal), "trace.normal")
+    depth = crop(gbuf.depth)
+    mat_id = crop(gbuf.mat_id)
+    motion = nan_guard(crop(gbuf.motion), "trace.motion")
+    if static.stop_after == "trace":
+        return (color, albedo, normal, depth, mat_id, motion), state
 
     # ---- SVGF denoise ----
     if static.flags.denoise:
@@ -218,6 +226,8 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
     else:
         final = color * albedo
         new_history = state.history
+    if static.stop_after == "denoise":
+        return (final, new_history), state
 
     # ---- postprocess ----
     sun_uv, sun_z = world_to_screen(basis, basis.pos + sky.sun_dir * 1e4,

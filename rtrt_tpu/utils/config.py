@@ -110,6 +110,9 @@ class FeatureFlags:
     procedural_textures: bool = True  # analytic noise (zero-gather) vs mips
     rebuild_bvh_every_frame: bool = True
     blue_noise: bool = True  # inter-pixel blue-noise sample distribution
+    half_history: bool = True  # bf16 persistent history buffers (the TPU
+    #   analog of the reference's half-precision history surfaces,
+    #   src/fp16Utils.cuh + buffer formats at src/init.cu:473-500)
 
 
 # ---------------------------------------------------------------------------

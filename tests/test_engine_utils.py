@@ -328,3 +328,60 @@ def test_dynamic_resolution_controller():
     f._cur_bucket = 1080
     f._dynamic_resolution_step(1 / 500)
     assert f._cur_bucket == 1080
+
+
+def test_halfedge_subdivide_catmull_clark():
+    """Catmull-Clark (reference: meshedit.cpp:368): each tri -> 3 quads
+    (6 stored tris); closed mesh stays closed; hull shrinks (smooth);
+    centroid is preserved for the symmetric tetrahedron."""
+    m = HalfedgeMesh.from_triangles(*_tet())
+    m.subdivide("catmull_clark")
+    assert m.validate()
+    # 4 tris * 3 quads * 2 tris-per-quad
+    assert m.num_faces() == 24
+    # V = 4 old + 6 edge + 4 face points
+    assert m.num_vertices() == 14
+    v, f = m.to_triangles()
+    # closed 2-manifold: every edge shared by exactly two faces
+    cnt = {}
+    for (a, b, c) in f.tolist():
+        for u, w in ((a, b), (b, c), (c, a)):
+            cnt[(min(u, w), max(u, w))] = cnt.get((min(u, w), max(u, w)), 0) + 1
+    assert set(cnt.values()) == {2}
+    # smooth rule pulls vertices inside the original hull
+    assert np.linalg.norm(v, axis=-1).max() < np.sqrt(3)
+    assert np.abs(v.mean(axis=0)).max() < 1e-5
+
+
+def test_halfedge_catmull_clark_boundary():
+    """Open quad: boundary edge points stay at midpoints, boundary verts
+    follow the 1/8-3/4-1/8 crease rule (stay on the boundary line)."""
+    qv = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+    qf = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    m = HalfedgeMesh.from_triangles(qv, qf)
+    m.subdivide("catmull_clark")
+    assert m.validate()
+    v, f = m.to_triangles()
+    # planar input stays planar
+    assert np.abs(v[:, 2]).max() == 0.0
+    # the four original corners remain in [0,1]^2 (crease rule is convex)
+    assert v.min() >= -1e-6 and v.max() <= 1.0 + 1e-6
+
+
+def test_nan_guards_live_in_frame(capfd):
+    """RTRT_DEBUG wiring: nan_guard is invoked inside the frame program
+    (reference wires NAN_DETECTER into its hot kernels,
+    src/pathtrace.cuh:113-117).  Force-enable and check it both reports
+    and zeroes an injected NaN."""
+    import jax.numpy as jnp
+    from rtrt_tpu.utils.debug import nan_guard
+    x = jnp.array([1.0, jnp.nan, jnp.inf])
+    y = nan_guard(x, "test", enabled=True)
+    out, _ = capfd.readouterr()
+    assert "bad values: 2" in out
+    assert jnp.all(jnp.isfinite(y)) and float(y[0]) == 1.0
+    # and the frame module calls it on the trace outputs
+    import inspect
+    from rtrt_tpu.engine import frame
+    src = inspect.getsource(frame.render_frame)
+    assert 'nan_guard' in src and 'trace.radiance' in src

@@ -1,0 +1,77 @@
+"""Per-pass frame profiler: stage timing via stop_after cut points.
+
+The reference gets per-stage timing for free from its per-stage
+cudaDeviceSynchronize serialization (reference: src/kernel.cu:282-396);
+our frame is ONE fused XLA program, so stage cost is measured by compiling
+the frame program truncated after each stage (FrameStatic.stop_after) and
+differencing the wall times.  XLA fusion across the cut boundary is lost,
+so the deltas are an upper bound on each stage's marginal cost — good
+enough to rank optimization targets (the round-1 method, now a tool).
+
+Usage:
+    python tools/profile_frame.py [--scene terrain] [--width 1920]
+        [--height 1080] [--frames 5]
+
+Prints a table: cumulative ms per cut + per-stage delta.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+STAGES = ["bvh", "trace", "denoise", "full"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default=os.environ.get("BENCH_SCENE", "terrain"))
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--frames", type=int, default=5)
+    ap.add_argument("--stages", default=",".join(STAGES),
+                    help="comma list of cut points to time")
+    args = ap.parse_args()
+
+    import jax
+    cache_dir = os.environ.get("JAX_CACHE_DIR",
+                               os.path.expanduser("~/.cache/rtrt_jax"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    from rtrt_tpu.engine.engine import Engine
+    from rtrt_tpu.engine.frame import make_frame_fn
+    from rtrt_tpu.utils.config import DynamicResolution, GlobalSettings
+
+    settings = GlobalSettings(
+        render_width=args.width, render_height=args.height, scene=args.scene,
+        texture_size=256, dynamic_resolution=DynamicResolution(enabled=False))
+    eng = Engine(settings)
+    static = eng._static                      # the live bucket's config
+    frame_args = eng._frame_args(dt=1 / 60)   # same inputs the engine uses
+
+    stages = [s.strip() for s in args.stages.split(",")]
+    cum = {}
+    for stage in stages:
+        fn = make_frame_fn(static._replace(stop_after=stage))
+        out = fn(*frame_args)                 # compile
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.frames):
+            out = fn(*frame_args)
+            jax.block_until_ready(out)
+        cum[stage] = (time.perf_counter() - t0) / args.frames * 1e3
+
+    print(f"\nscene={args.scene} tris={eng.scene.num_tris} "
+          f"{args.width}x{args.height}  ({args.frames} frames/stage)")
+    print(f"{'cut':<10}{'cumulative ms':>14}{'stage delta ms':>16}")
+    prev = 0.0
+    for stage in stages:
+        print(f"{stage:<10}{cum[stage]:>14.1f}{cum[stage] - prev:>16.1f}")
+        prev = cum[stage]
+
+
+if __name__ == "__main__":
+    main()
