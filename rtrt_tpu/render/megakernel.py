@@ -641,9 +641,12 @@ def finish_gbuffer(scene, rays, out: MegaOut, prev_basis, aspect):
     from .integrator import GBuffer, RADIANCE_CLAMP
     from .light import sun_pdf_dir
     from .sampling import power_heuristic
-    from .sky import env_radiance_analytic
+    from .sky import env_radiance_fit
 
-    env = env_radiance_analytic(scene.sky, out.esc_dir)
+    # Chebyshev-fit environment eval: dense VPU math (the analytic raymarch
+    # costs ~400 ms for 2M escaped rays at 1080p; the fit ~2 ms, <0.5% rel
+    # error — render/sky.py::env_radiance_fit, tested vs the analytic oracle)
+    env = env_radiance_fit(scene.sky, out.esc_dir)
     lpdf = sun_pdf_dir(scene.sky, out.esc_dir)
     w_env = jnp.where(out.esc_pdf < 0.0, 1.0,
                       power_heuristic(1.0, out.esc_pdf, 1.0, lpdf))

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..core.color import luminance
@@ -253,6 +254,9 @@ class SkyMaps(NamedTuple):
     sky_alias_j: jnp.ndarray  # (H*W,) i32 alias partner
     sun_alias_p: jnp.ndarray
     sun_alias_j: jnp.ndarray
+    env_fit: jnp.ndarray = None  # (ENV_FIT_DEG^2, 3) Chebyshev tensor fit of
+    #   the sky map in (sin-elevation, cos-azimuth-to-sun) — the gather-free
+    #   per-ray environment eval (see env_radiance_fit)
 
 
 def bake_sky_maps(params: SkyParams, sky_res=SKY_RES, sun_res=SUN_RES) -> SkyMaps:
@@ -294,12 +298,170 @@ def bake_sky_maps(params: SkyParams, sky_res=SKY_RES, sun_res=SUN_RES) -> SkyMap
     sun_w = sun_lum.reshape(-1)
     sun_pdf = sun_w / jnp.maximum(jnp.sum(sun_w), 1e-20) / sun_texel_omega
 
+    # env_fit is solved host-side in float64 (finalize_sky_maps): the
+    # degree-14 normal equations are too ill-conditioned for f32 LU (and
+    # TPU's bf16-internal solve diverges visibly from CPU)
+    env_fit = jnp.zeros((2, ENV_FIT_DEG * ENV_FIT_DEG, 3), jnp.float32)
+
     zf = lambda k: jnp.zeros((k,), jnp.float32)
     zi = lambda k: jnp.zeros((k,), jnp.int32)
     return SkyMaps(sky, sky_cdf, sky_flux, sun_rad, sun_cdf, sun_flux,
                    params.sun_dir, t, bvec, params, trans,
                    sky_pdf, sun_pdf,
-                   zf(h * w), zi(h * w), zf(sh * sw), zi(sh * sw))
+                   zf(h * w), zi(h * w), zf(sh * sw), zi(sh * sw),
+                   env_fit)
+
+
+# ---------------------------------------------------------------------------
+# gather-free environment eval: Chebyshev tensor fit of the baked sky
+# ---------------------------------------------------------------------------
+#
+# Escaped rays need sky radiance per pixel.  The analytic raymarch costs
+# VIEW_STEPS x LIGHT_STEPS = 256 density/transmittance steps per ray
+# (~400 ms for 2M rays at 1080p — measured round 2), and a map lookup is a
+# per-lane gather (~8.6 ns/elem, just as hopeless).  But a clear-atmosphere
+# sky with the sun disk handled separately is SMOOTH and depends only on
+# (sin elevation, cos azimuth-to-sun), so a small tensor-Chebyshev fit of
+# the already-baked map evaluates in ~200 dense VPU flops per ray.  The fit
+# is re-solved at bake time (normal equations on the equal-area grid =
+# uniform solid-angle weighting; one (B,B) solve, B = ENV_FIT_DEG^2).
+
+ENV_FIT_DEG = 14   # Chebyshev degree per axis (B = 196 coeffs/hemisphere)
+ENV_FIT_RCOND = 1e-5  # lstsq singular-value cutoff (see _fit_env_host)
+
+
+def _cheb_list(x, deg):
+    ts = [jnp.ones_like(x), x]
+    for _ in range(deg - 2):
+        ts.append(2.0 * x * ts[-1] - ts[-2])
+    return ts[:deg]
+
+
+def _env_coords(d, sun_dir):
+    """Fit coordinates of dirs (...,3):
+      xs: sqrt-stretched |elevation| in [-1,1] (resolution concentrated at
+          the horizon, where path length and gradients blow up),
+      c:  cos azimuth-to-sun in [-1,1],
+      s:  sin elevation (hemisphere blend weight in env_radiance_fit)."""
+    s = jnp.clip(d[..., 1], -1.0, 1.0)
+    xs = 2.0 * jnp.sqrt(jnp.abs(s)) - 1.0
+    hx, hz = d[..., 0], d[..., 2]
+    hn = jnp.sqrt(hx * hx + hz * hz)
+    sx, sz = sun_dir[0], sun_dir[2]
+    sn = jnp.sqrt(sx * sx + sz * sz)
+    denom = jnp.maximum(hn * sn, 1e-8)
+    c = jnp.clip((hx * sx + hz * sz) / denom, -1.0, 1.0)
+    # near the zenith/nadir (or sun at zenith) azimuth is undefined — the
+    # true radiance is azimuth-independent there, pick c = 0
+    c = jnp.where((hn < 1e-6) | (sn < 1e-6), 0.0, c)
+    return xs, c, s
+
+
+def _fit_env_host(sky_map, sun_dir):
+    """Luminance-weighted least-squares Chebyshev fit of the baked
+    equal-area sky map, one coefficient set per hemisphere (the horizon is
+    a hard discontinuity — fitting across it rings).
+
+    Runs HOST-SIDE in numpy float64 (called from finalize_sky_maps): the
+    degree-14 normal equations are ill-conditioned, and solving them in
+    device f32 (with TPU's bf16-internal LU) visibly shifts the fitted sky
+    and breaks CPU/TPU agreement.  f64 on host makes the coefficients
+    bit-identical on every backend.
+    sky_map: (H,W,3); sun_dir: (3,) -> (2, B, 3) f32 coefficients."""
+    import numpy as np
+    h, w = sky_map.shape[:2]
+    sky = np.asarray(sky_map, np.float64)
+    sd = np.asarray(sun_dir, np.float64)
+    # equal-area texel dirs (numpy twin of equal_area_uv_to_dir)
+    u = (np.arange(w, dtype=np.float64) + 0.5) / w
+    v = (np.arange(h, dtype=np.float64) + 0.5) / h
+    vv, uu = np.meshgrid(v, u, indexing="ij")
+    phi_a = (uu - 0.5) * 2.0 * np.pi
+    y_e = vv * 2.0 - 1.0
+    r = np.sqrt(np.maximum(0.0, 1.0 - y_e * y_e))
+    dx, dy, dz = r * np.cos(phi_a), y_e, r * np.sin(phi_a)
+
+    # fit coords (numpy twin of _env_coords)
+    s = np.clip(dy, -1.0, 1.0)
+    xs = 2.0 * np.sqrt(np.abs(s)) - 1.0
+    hn = np.sqrt(dx * dx + dz * dz)
+    sn = np.sqrt(sd[0] ** 2 + sd[2] ** 2)
+    c = np.clip((dx * sd[0] + dz * sd[2]) / np.maximum(hn * sn, 1e-8),
+                -1.0, 1.0)
+    c = np.where((hn < 1e-6) | (sn < 1e-6), 0.0, c)
+    up = s >= 0.0
+
+    def cheb(x, deg):
+        ts = [np.ones_like(x), x]
+        for _ in range(deg - 2):
+            ts.append(2.0 * x * ts[-1] - ts[-2])
+        return ts[:deg]
+
+    b = ENV_FIT_DEG * ENV_FIT_DEG
+    ts = cheb(xs, ENV_FIT_DEG)
+    tc = cheb(c, ENV_FIT_DEG)
+    phi = np.stack([a * t for a in ts for t in tc], axis=-1).reshape(-1, b)
+    yv = sky.reshape(-1, 3)
+    # weight ~ 1/luminance: optimize RELATIVE error (the dim zenith counts
+    # as much as the bright horizon)
+    lum = np.maximum(yv.mean(axis=-1), 1e-6)
+    wgt = 1.0 / (lum + 0.05 * lum.mean())
+    upf = up.reshape(-1)
+
+    def solve(mask):
+        # SVD lstsq with an aggressive rcond cutoff, NOT normal equations:
+        # the degree-196 basis is ill-conditioned enough that a raw solve
+        # amplifies ~1e-5 input noise (f32 backend differences in the baked
+        # map) into O(1) coefficient swings (measured: TPU-vs-CPU fit
+        # outputs differed by up to 4.3 radiance units at the horizon).
+        # Truncating the near-null directions makes the coefficients stable
+        # under input noise at negligible accuracy cost.
+        sw = np.sqrt(wgt * mask)[:, None]
+        coef, _, _, _ = np.linalg.lstsq(phi * sw, yv * sw,
+                                        rcond=ENV_FIT_RCOND)
+        return coef
+
+    out = np.stack([solve(upf.astype(np.float64)),
+                    solve((~upf).astype(np.float64))])
+    return out.astype(np.float32)
+
+
+# The two hemisphere fits meet at the horizon with a step; a hard `s >= 0`
+# select there is numerically fragile (escaped bounce directions differ by
+# ~1e-6 between backends after f32 shading math, so seam pixels would flip
+# hemispheres and jump by the full step).  Blend over a band of width
+# s_min = 1/H (the innermost training row's |sin elevation|) instead, and
+# CLAMP each hemisphere's sqrt-stretch coordinate to that same s_min: the
+# band |s| < s_min holds no training samples, and evaluating the fit there
+# means extrapolating at the Chebyshev edge x = -1, where the series rings
+# worst (measured: 3.4x the true radiance at s = 0 exactly — a speckled
+# bright band at the rendered horizon).  Clamping pins the band to the two
+# edge-row values; the blend interpolates between them.
+
+
+def env_radiance_fit(maps: SkyMaps, d):
+    """Escaped-ray radiance: Chebyshev sky fit + analytic sun disk — dense
+    VPU math, no gathers, no raymarch (the production escape-path eval;
+    env_radiance_analytic is the exact oracle it is tested against)."""
+    _, c, s = _env_coords(d, maps.sun_dir)
+    s_min = 1.0 / maps.sky_map.shape[0]  # static shape -> python float
+    xs_up = 2.0 * jnp.sqrt(jnp.clip(s, s_min, 1.0)) - 1.0
+    xs_dn = 2.0 * jnp.sqrt(jnp.clip(-s, s_min, 1.0)) - 1.0
+    ts_up = _cheb_list(xs_up, ENV_FIT_DEG)
+    ts_dn = _cheb_list(xs_dn, ENV_FIT_DEG)
+    tc = _cheb_list(c, ENV_FIT_DEG)
+    up = jnp.zeros(d.shape[:-1] + (3,), jnp.float32)
+    dn = jnp.zeros(d.shape[:-1] + (3,), jnp.float32)
+    k = 0
+    for i in range(ENV_FIT_DEG):
+        for j in range(ENV_FIT_DEG):
+            up = up + (ts_up[i] * tc[j])[..., None] * maps.env_fit[0, k]
+            dn = dn + (ts_dn[i] * tc[j])[..., None] * maps.env_fit[1, k]
+            k += 1
+    t = jnp.clip((s / s_min + 1.0) * 0.5, 0.0, 1.0)
+    w = (t * t * (3.0 - 2.0 * t))[..., None]  # smoothstep across the seam
+    out = w * up + (1.0 - w) * dn
+    return jnp.maximum(out, 0.0) + sun_disk_radiance(maps, d)
 
 
 def build_alias_table(weights):
@@ -338,10 +500,12 @@ def finalize_sky_maps(maps: SkyMaps) -> SkyMaps:
     sun_w = np.maximum(np.asarray(maps.sun_pdf), 0.0)
     sp, sj = build_alias_table(sky_w)
     up, uj = build_alias_table(sun_w)
+    env_fit = _fit_env_host(maps.sky_map, maps.sun_dir)
     return maps._replace(sky_alias_p=jnp.asarray(sp),
                          sky_alias_j=jnp.asarray(sj),
                          sun_alias_p=jnp.asarray(up),
-                         sun_alias_j=jnp.asarray(uj))
+                         sun_alias_j=jnp.asarray(uj),
+                         env_fit=jnp.asarray(env_fit))
 
 
 def sun_disk_radiance(maps: SkyMaps, d):

@@ -216,3 +216,31 @@ def test_sharpen_median(img):
     assert out.shape == (H, W, 3)
     med = np.asarray(median3(img))
     assert med.std() <= np.asarray(img).std()
+
+
+def test_wide_pass_pallas_matches_xla():
+    """The windowed-DMA Pallas wide pass (interpret mode) must match the
+    XLA shift-stencil twin bit-for-bit in structure (same tap math)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from rtrt_tpu.denoise.spatial import _edge_aware_pass, _wide_pass_pallas
+    from rtrt_tpu.utils.config import default_params
+
+    rng = np.random.default_rng(7)
+    h, w = 40, 96
+    color = jnp.asarray(rng.random((h, w, 3), np.float32))
+    n = rng.normal(size=(h, w, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    normal = jnp.asarray(n)
+    depth = jnp.asarray(rng.random((h, w), np.float32) * 10 + 1)
+    # sky region with inf depth exercises the isfinite paths
+    depth = depth.at[:5, :9].set(jnp.inf)
+    mat = jnp.asarray((rng.random((h, w)) * 3).astype(np.int32))
+    p = default_params().denoise
+    for stride in (3, 12):
+        ref = _edge_aware_pass(color, normal, depth, mat, p,
+                               radius=2, stride=stride)
+        got = _wide_pass_pallas(color, normal, depth, mat, p,
+                                stride, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)

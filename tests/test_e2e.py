@@ -84,16 +84,20 @@ def test_temporal_chain_converges(frame_setup):
     args = list(args)
     img_prev = None
     diffs = []
-    for i in range(4):
+    for i in range(8):
         img, new_state = fn(*args)
         args[7] = new_state  # FrameState slot
         a = np.asarray(img).astype(np.int32)
         if img_prev is not None:
             diffs.append(np.abs(a - img_prev).mean())
         img_prev = a
-    # later frames differ less than the first pair (accumulation works)
-    assert diffs[-1] <= diffs[0] + 1e-6
-    assert diffs[-1] < 12.0
+    # later frames differ less than early ones (accumulation works); mean
+    # over windows, not single pairs — per-frame sample noise swings a
+    # single diff by ~±1 gray level at this tiny resolution
+    early = np.mean(diffs[:2])
+    late = np.mean(diffs[-4:])
+    assert late < early, (early, late, diffs)
+    assert late < 12.0
 
 
 def test_golden_image(frame_setup):

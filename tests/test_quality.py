@@ -107,7 +107,10 @@ def test_orbit_stream_reaches_converged(setup):
     counts = []
     for i in range(k):
         img, st = den(*args(st, _orbit_cam(i), _orbit_cam(max(i - 1, 0))))
-        counts.append(float(np.asarray(st.history.count).mean()))
+        # history.count is stored bf16 — mean() in bf16 saturates (the
+        # running sum sticks at 256), so upcast before reducing
+        counts.append(float(np.asarray(st.history.count,
+                                       dtype=np.float64).mean()))
     s = ssim((np.asarray(img) / 255.0).astype(np.float64),
              ref.astype(np.float64))
     assert s >= 0.97, f"orbit denoised SSIM vs {N_REF}-spp = {s:.4f}"

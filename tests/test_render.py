@@ -316,3 +316,28 @@ def test_wave_displacement():
     np.testing.assert_array_equal(np.asarray(v1)[:, 0], 0)
     np.testing.assert_array_equal(np.asarray(v1)[:, 2], 0)
     assert np.abs(np.asarray(v1)[:, 1]).max() <= 0.36
+
+
+def test_env_fit_matches_analytic():
+    """The Chebyshev environment fit (production escape-path eval) must
+    track the analytic raymarch oracle to sub-percent mean relative error
+    (render/sky.py::env_radiance_fit)."""
+    import jax
+    from rtrt_tpu.render.sky import env_radiance_fit, sun_disk_radiance
+
+    maps = finalize_sky_maps(jax.jit(bake_sky_maps)(make_sky_params()))
+    rng = np.random.default_rng(3)
+    d = rng.normal(size=(8192, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    fit = np.asarray(env_radiance_fit(maps, d))
+    ana = np.asarray(env_radiance_analytic(maps, d))
+    sun = np.asarray(sun_disk_radiance(maps, d))
+    fit_sky = fit - sun
+    ana_sky = ana - sun
+    lum = ana_sky.mean(-1)
+    rel = np.abs(fit_sky - ana_sky).mean(-1) / np.maximum(
+        lum, lum.mean() * 0.05)
+    assert rel.mean() < 0.01, rel.mean()
+    assert np.percentile(rel, 95) < 0.03
+    assert fit_sky.min() > -1e-3  # clamped non-negative
