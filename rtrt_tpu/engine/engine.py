@@ -125,9 +125,12 @@ class Engine:
 
         # ---- resolution buckets ----
         self._frame_fns = {}
+        self._precompiling = set()
         self._cur_bucket = None
         self.render_w = self.render_h = 0
         self._set_bucket(_bucket_for(self.settings.render_height))
+        if self.settings.dynamic_resolution.enabled:
+            self._precompile_neighbors()
 
         self.timer = Timer()
         self.fps_log = FpsLog()
@@ -137,13 +140,10 @@ class Engine:
     # resolution buckets / dynamic resolution
     # ------------------------------------------------------------------
 
-    def _set_bucket(self, bucket_h: int):
-        if bucket_h == self._cur_bucket:
-            return
-        self._cur_bucket = bucket_h
-        self.render_w, self.render_h = _res_for_height(bucket_h)
-        static = FrameStatic(
-            render_w=self.render_w, render_h=self.render_h,
+    def _static_for(self, bucket_h: int) -> FrameStatic:
+        w, h = _res_for_height(bucket_h)
+        return FrameStatic(
+            render_w=w, render_h=h,
             screen_w=self.settings.render_width,
             screen_h=self.settings.render_height,
             num_batches=self.scene.num_batches,
@@ -152,6 +152,13 @@ class Engine:
             use_megakernel=(_tpu_available()
                             and os.environ.get("RTRT_MEGAKERNEL", "1") != "0"),
             animation=self.animation)
+
+    def _set_bucket(self, bucket_h: int):
+        if bucket_h == self._cur_bucket:
+            return
+        self._cur_bucket = bucket_h
+        self.render_w, self.render_h = _res_for_height(bucket_h)
+        static = self._static_for(bucket_h)
         self._static = static
         if bucket_h not in self._frame_fns:
             self._frame_fns[bucket_h] = make_frame_fn(static)
@@ -159,6 +166,51 @@ class Engine:
         self.state = self.state._replace(
             history=init_history(self.render_h, self.render_w,
                                  half=self.flags.half_history))
+
+    def _precompile_bucket_async(self, bucket_h: int):
+        """Warm one bucket's frame executable in a daemon thread (compile +
+        one throwaway execution, so the switch reuses a hot jit cache).
+
+        The reference re-allocates continuously-sized buffers on resolution
+        change (kernel.cu:78-114) — free on CUDA, but each static-shape
+        bucket here is a fresh XLA compile (minutes cold at 1080p).  Without
+        warming, the first frame after a dynamic-resolution switch hitches
+        for the whole compile."""
+        if (bucket_h in self._frame_fns or bucket_h in self._precompiling
+                or os.environ.get("RTRT_PRECOMPILE", "1") == "0"):
+            return
+        import threading
+        self._precompiling.add(bucket_h)
+        static = self._static_for(bucket_h)
+        fn = make_frame_fn(static)
+
+        def work():
+            try:
+                state = self.state._replace(history=init_history(
+                    static.render_h, static.render_w,
+                    half=self.flags.half_history))
+                args = (self.indices, self.tri_mat, self.valid,
+                        self.materials, self.textures, self.sky, self.lights,
+                        state, self.camera, self.camera, self.params,
+                        jnp.float32(1 / 60))
+                jax.block_until_ready(fn(*args))
+                self._frame_fns[bucket_h] = fn
+            except Exception:
+                pass  # precompile is best-effort; the switch still works
+            finally:
+                self._precompiling.discard(bucket_h)
+
+        threading.Thread(target=work, daemon=True,
+                         name=f"rtrt-precompile-{bucket_h}").start()
+
+    def _precompile_neighbors(self):
+        """Kick background warms for the buckets one step down and up."""
+        idx = _BUCKET_HEIGHTS.index(self._cur_bucket)
+        for j in (idx - 1, idx + 1):
+            if 0 <= j < len(_BUCKET_HEIGHTS) and \
+                    _BUCKET_HEIGHTS[j] <= max(self.settings.render_height,
+                                              _BUCKET_HEIGHTS[0]):
+                self._precompile_bucket_async(_BUCKET_HEIGHTS[j])
 
     def _dynamic_resolution_step(self, frame_time: float):
         """Scale the bucket to hold the target frame time
@@ -170,11 +222,13 @@ class Engine:
         idx = _BUCKET_HEIGHTS.index(self._cur_bucket)
         if fps < dr.target_fps - dr.deadband_fps and idx > 0:
             self._set_bucket(_BUCKET_HEIGHTS[idx - 1])
+            self._precompile_neighbors()
         elif fps > dr.target_fps + dr.deadband_fps * 4 and \
                 idx < len(_BUCKET_HEIGHTS) - 1:
             nh = _BUCKET_HEIGHTS[idx + 1]
             if nh <= self.settings.render_height:
                 self._set_bucket(nh)
+                self._precompile_neighbors()
 
     # ------------------------------------------------------------------
     # sky regeneration (reference: kernel.cu:285-308)

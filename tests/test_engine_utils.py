@@ -315,6 +315,9 @@ def test_dynamic_resolution_controller():
         def _set_bucket(self, b):
             self._cur_bucket = b
             self.switched.append(b)
+        def _precompile_neighbors(self):
+            self.warmed.append(self._cur_bucket)
+        warmed = []
         _dynamic_resolution_step = E.Engine._dynamic_resolution_step
 
     f = FakeEngine()
@@ -324,10 +327,102 @@ def test_dynamic_resolution_controller():
     assert f._cur_bucket == 540
     f._dynamic_resolution_step(1 / 61)  # inside deadband: no change
     assert f.switched == [360, 540]
+    # every switch kicks a neighbor warm (background precompile)
+    assert f.warmed == [360, 540]
     # never exceeds the configured max height
     f._cur_bucket = 1080
     f._dynamic_resolution_step(1 / 500)
     assert f._cur_bucket == 1080
+
+
+def test_precompile_neighbors_targets():
+    """_precompile_neighbors warms exactly the +/-1 buckets (bounded by the
+    configured max height) in background threads, skipping buckets that are
+    already compiled or in flight."""
+    from rtrt_tpu.engine import engine as E
+
+    class FakeEngine:
+        def __init__(self, cur, max_h):
+            from rtrt_tpu.utils.config import GlobalSettings
+            self.settings = GlobalSettings(render_height=max_h)
+            self._cur_bucket = cur
+            self._frame_fns = {cur: object()}
+            self._precompiling = set()
+            self.asked = []
+        def _precompile_bucket_async(self, b):
+            self.asked.append(b)
+        _precompile_neighbors = E.Engine._precompile_neighbors
+
+    f = FakeEngine(cur=540, max_h=1080)
+    f._precompile_neighbors()
+    assert f.asked == [360, 720]
+    # at the top bucket allowed by settings: only the lower neighbor
+    f = FakeEngine(cur=1080, max_h=1080)
+    f._precompile_neighbors()
+    assert f.asked == [720]
+    # at the bottom bucket: only the upper neighbor
+    f = FakeEngine(cur=270, max_h=1080)
+    f._precompile_neighbors()
+    assert f.asked == [360]
+
+
+def test_precompile_bucket_async_runs(monkeypatch):
+    """The async warm compiles via make_frame_fn and registers the fn in
+    _frame_fns; duplicate/in-flight/compiled buckets are skipped."""
+    import threading
+
+    from rtrt_tpu.engine import engine as E
+
+    calls = []
+    done = threading.Event()
+
+    class FakeFn:
+        def __call__(self, *a):
+            return ()
+
+    def fake_make_frame_fn(static):
+        calls.append((static.render_w, static.render_h))
+        return FakeFn()
+
+    monkeypatch.setattr(E, "make_frame_fn", fake_make_frame_fn)
+    monkeypatch.setattr(E.jax, "block_until_ready",
+                        lambda x: done.set())
+
+    class FakeEngine:
+        def __init__(self):
+            from rtrt_tpu.utils.config import FeatureFlags, GlobalSettings
+            self.settings = GlobalSettings(render_height=1080)
+            self.flags = FeatureFlags()
+            self._frame_fns = {540: object()}
+            self._precompiling = set()
+            # frame args (content irrelevant — FakeFn ignores them)
+            self.indices = self.tri_mat = self.valid = None
+            self.materials = self.textures = self.sky = self.lights = None
+            self.camera = self.params = None
+            self.state = E.FrameState(
+                vertices=None, normals=None, history=None, exposure=None,
+                frame_idx=None, time=None)
+        _static_for = E.Engine._static_for
+        _precompile_bucket_async = E.Engine._precompile_bucket_async
+
+        class scene:  # noqa: N801 — attribute stand-in
+            num_batches = 1
+
+        animation = "none"
+
+    f = FakeEngine()
+    f._precompile_bucket_async(540)   # already compiled: no-op
+    assert calls == []
+    f._precompile_bucket_async(360)
+    assert done.wait(timeout=10.0)
+    # wait for the worker to finish bookkeeping
+    for _ in range(100):
+        if 360 in f._frame_fns:
+            break
+        import time
+        time.sleep(0.05)
+    assert calls == [E._res_for_height(360)]
+    assert 360 in f._frame_fns and 360 not in f._precompiling
 
 
 def test_halfedge_subdivide_catmull_clark():
