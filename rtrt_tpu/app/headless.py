@@ -31,6 +31,11 @@ def main(argv=None):
                    help="orbit the camera (exercises motion vectors)")
     p.add_argument("--no-denoise", action="store_true")
     p.add_argument("--no-post", action="store_true")
+    p.add_argument("--ocean", action="store_true",
+                   help="raymarched environment ocean (water.cuh twin)")
+    p.add_argument("--stars", action="store_true",
+                   help="night star field (star.cuh twin; pair with "
+                        "--time-of-day near 0.0/1.0)")
     p.add_argument("--time-of-day", type=float, default=None)
     args = p.parse_args(argv)
 
@@ -52,7 +57,8 @@ def main(argv=None):
     settings = dataclasses.replace(settings, **over)
 
     flags = FeatureFlags(denoise=not args.no_denoise,
-                         postprocess=not args.no_post)
+                         postprocess=not args.no_post,
+                         ocean=args.ocean, stars=args.stars)
     eng = Engine(settings, flags=flags)
     if args.time_of_day is not None:
         eng.params = set_param(eng.params, "sky.time_of_day",

@@ -194,19 +194,34 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
         lens = rand2(pixel_ids, frame_idx, jnp.uint32(256))
     rays = generate_rays_padded(basis, w, h, pixel_ids, jitter, lens)
 
+    # optional composed environment: sky + ocean + stars for escaped rays
+    # (the reference's dormant sky2 -> star -> water chain, active here
+    # behind static flags — render/environment.py)
+    if static.flags.ocean or static.flags.stars:
+        from ..render.environment import env_radiance_scene
+        t_env = (state.time if state.time is not None
+                 else frame_idx.astype(jnp.float32) * dt)
+        env_fn = lambda o, d: env_radiance_scene(
+            sky, o, d, t_env, ocean=static.flags.ocean,
+            stars=static.flags.stars)
+    else:
+        env_fn = None
+
     # ---- path trace: megakernel (one Pallas launch) or wavefront ----
     if static.use_megakernel:
         from ..render.megakernel import path_trace_mega
         gbuf: GBuffer = path_trace_mega(
             scene, rays, pixel_ids, frame_idx, prev_basis, w / h,
-            use_proctex=static.flags.procedural_textures, bn=bn)
+            use_proctex=static.flags.procedural_textures, bn=bn,
+            env_fn=env_fn)
         crop = lambda x: x[:h, :w]
     else:
         gbuf: GBuffer = path_trace(
             scene, rays, pixel_ids, frame_idx, prev_basis,
             w / h, max_steps=static.max_traversal_steps,
             use_packets=static.use_packets,
-            use_proctex=static.flags.procedural_textures, bn=bn)
+            use_proctex=static.flags.procedural_textures, bn=bn,
+            env_fn=env_fn)
         crop = lambda x: x[:n_pix].reshape((h, w) + x.shape[1:])
 
     # live NaN guards in the hot path under RTRT_DEBUG=1 (the reference

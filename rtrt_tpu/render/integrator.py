@@ -158,12 +158,15 @@ def _material_at(scene: SceneData, mat, pos, ns, cone_width,
 def path_trace(scene: SceneData, rays: Rays, pixel_ids, frame_idx,
                prev_basis: CameraBasis, aspect,
                max_steps: int = 1024, use_packets: bool = True,
-               use_proctex: bool = True, bn=None) -> GBuffer:
+               use_proctex: bool = True, bn=None, env_fn=None) -> GBuffer:
     """Trace the full bounce program for all rays; returns the G-buffer.
 
     bn: optional (N,2) blue-noise CP offsets (sampling.blue_offsets_flat) —
     switches sampling to the shared-sequence blue-noise-dithered mode
-    (reference: src/blueNoiseRandGen.h inter-pixel distribution)."""
+    (reference: src/blueNoiseRandGen.h inter-pixel distribution).
+    env_fn: optional (org, dir) -> (...,3) escape-environment override
+    (render/environment.py composes sky + ocean + stars); default is the
+    plain Chebyshev sky fit."""
     n = rays.org.shape[0]
     tables = pack_for_packets(scene.bvh, scene.tri_nrm_t, scene.tri_mat) \
         if use_packets else None
@@ -201,7 +204,8 @@ def path_trace(scene: SceneData, rays: Rays, pixel_ids, frame_idx,
                          use_proctex=use_proctex, bn=bn)
 
     # ---- deferred environment resolve: ONE analytic eval for all lanes ----
-    env = env_radiance_fit(scene.sky, state["esc_dir"])
+    env = (env_fn(rays.org, state["esc_dir"]) if env_fn is not None
+           else env_radiance_fit(scene.sky, state["esc_dir"]))
     lpdf = sun_pdf_dir(scene.sky, state["esc_dir"])  # NEE covers sun only
     w_env = jnp.where(state["esc_delta"], 1.0,
                       power_heuristic(1.0, state["esc_pdf"], 1.0, lpdf))

@@ -634,9 +634,13 @@ def simulate_megakernel(scene, rays, pixel_ids, frame_idx, *,
         esc_pdf=jnp.where(st.esc_delta, -1.0, st.esc_pdf))
 
 
-def finish_gbuffer(scene, rays, out: MegaOut, prev_basis, aspect):
+def finish_gbuffer(scene, rays, out: MegaOut, prev_basis, aspect,
+                   env_fn=None):
     """Deferred environment resolve + demodulation + motion vector — the
-    integrator's post-loop tail (shared by kernel and simulator paths)."""
+    integrator's post-loop tail (shared by kernel and simulator paths).
+
+    env_fn: optional (org, dir) -> (...,3) escape-environment override
+    (render/environment.py: sky + ocean + stars)."""
     from ..core.camera import motion_vector
     from .integrator import GBuffer, RADIANCE_CLAMP
     from .light import sun_pdf_dir
@@ -646,7 +650,8 @@ def finish_gbuffer(scene, rays, out: MegaOut, prev_basis, aspect):
     # Chebyshev-fit environment eval: dense VPU math (the analytic raymarch
     # costs ~400 ms for 2M escaped rays at 1080p; the fit ~2 ms, <0.5% rel
     # error — render/sky.py::env_radiance_fit, tested vs the analytic oracle)
-    env = env_radiance_fit(scene.sky, out.esc_dir)
+    env = (env_fn(rays.org, out.esc_dir) if env_fn is not None
+           else env_radiance_fit(scene.sky, out.esc_dir))
     lpdf = sun_pdf_dir(scene.sky, out.esc_dir)
     w_env = jnp.where(out.esc_pdf < 0.0, 1.0,
                       power_heuristic(1.0, out.esc_pdf, 1.0, lpdf))
@@ -664,7 +669,7 @@ def finish_gbuffer(scene, rays, out: MegaOut, prev_basis, aspect):
 
 def path_trace_mega(scene, rays, pixel_ids, frame_idx, prev_basis, aspect,
                     max_steps: int = PACKET_MAX_STEPS, use_proctex: bool = True,
-                    bn=None, interpret: bool = False):
+                    bn=None, interpret: bool = False, env_fn=None):
     """Drop-in replacement for integrator.path_trace using the megakernel."""
     from ..bvh.packet import pack_for_packets
     from .kshade import pack_materials_rows
@@ -681,4 +686,4 @@ def path_trace_mega(scene, rays, pixel_ids, frame_idx, prev_basis, aspect,
         n_materials=mat_rows.shape[0], n_lights=n_lights,
         max_steps=max_steps, use_proctex=use_proctex, bn=bn,
         interpret=interpret)
-    return finish_gbuffer(scene, rays, out, prev_basis, aspect)
+    return finish_gbuffer(scene, rays, out, prev_basis, aspect, env_fn=env_fn)

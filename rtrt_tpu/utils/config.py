@@ -113,6 +113,10 @@ class FeatureFlags:
     half_history: bool = True  # bf16 persistent history buffers (the TPU
     #   analog of the reference's half-precision history surfaces,
     #   src/fp16Utils.cuh + buffer formats at src/init.cu:473-500)
+    ocean: bool = False  # raymarched wave-heightfield environment ocean
+    #   (the reference's dormant USE_OCEAN chain, src/water.cuh via
+    #   sky2.cuh:11 — here an active opt-in; render/environment.py)
+    stars: bool = False  # procedural night star field (src/star.cuh twin)
 
 
 # ---------------------------------------------------------------------------

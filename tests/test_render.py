@@ -341,3 +341,93 @@ def test_env_fit_matches_analytic():
     assert rel.mean() < 0.01, rel.mean()
     assert np.percentile(rel, 95) < 0.03
     assert fit_sky.min() > -1e-3  # clamped non-negative
+
+
+def test_env_radiance_scene_ocean_and_stars(sky_maps):
+    """Composed environment (render/environment.py — the active twin of the
+    reference's dormant sky2 -> star -> water chain, sky2.cuh:75):
+    downward rays hit the ocean (shade != sky, finite Fresnel blend);
+    upward rays keep the plain sky; stars add energy only at night."""
+    import jax
+    from rtrt_tpu.render.environment import env_radiance_scene
+    from rtrt_tpu.render.sky import env_radiance_fit, make_sky_params
+
+    n = 256
+    rng = np.random.default_rng(11)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    org = jnp.broadcast_to(jnp.asarray([0.0, 5.0, 0.0], jnp.float32), (n, 3))
+    t = jnp.float32(0.3)
+
+    plain = np.asarray(env_radiance_fit(sky_maps, d))
+    both = np.asarray(jax.jit(lambda o, dd: env_radiance_scene(
+        sky_maps, o, dd, t, ocean=True, stars=True))(org, d))
+    dn = np.asarray(d)
+    down = dn[:, 1] < -0.05
+    up = dn[:, 1] > 0.05
+    assert np.isfinite(both).all() and (both >= 0).all()
+    # ocean replaces the below-horizon environment for downward rays
+    assert np.abs(both[down] - plain[down]).max() > 1e-3
+    # daytime sun (fixture elevation 0.6): stars invisible, sky unchanged
+    np.testing.assert_allclose(both[up], plain[up], rtol=1e-5, atol=1e-6)
+
+    # night sky: stars contribute above the horizon.  Star cores are tiny
+    # (a few arcmin), so sample densely to land on some.
+    night = finalize_sky_maps(jax.jit(lambda p: bake_sky_maps(
+        p, sky_res=(32, 64), sun_res=(8, 8)))(
+            make_sky_params(sun_elevation=-0.4)))
+    nb = 32768
+    db = rng.normal(size=(nb, 3)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=-1, keepdims=True)
+    db = jnp.asarray(db)
+    ob = jnp.broadcast_to(org[0], (nb, 3))
+    plain_n = np.asarray(env_radiance_fit(night, db))
+    starred = np.asarray(jax.jit(lambda o, dd: env_radiance_scene(
+        night, o, dd, t, stars=True))(ob, db))
+    added = (starred - plain_n).max(-1)
+    dbn = np.asarray(db)
+    assert (added[dbn[:, 1] > 0.05] > 1e-4).any(), "no stars at night"
+    assert np.abs(added[dbn[:, 1] < -0.05]).max() < 1e-6, \
+        "stars below the horizon"
+
+
+def test_frame_with_ocean_and_stars_flags():
+    """Full frame program with the ocean+stars flags on (CPU wavefront
+    path): compiles, runs, stays finite — the engine-level wiring of
+    render/environment.py through engine/frame.py."""
+    from functools import partial
+
+    from rtrt_tpu.core.camera import make_camera
+    from rtrt_tpu.denoise.pipeline import init_history
+    from rtrt_tpu.engine.frame import FrameState, FrameStatic, render_frame
+    from rtrt_tpu.engine.scene import build_demo_scene, padded_arrays
+    from rtrt_tpu.post.exposure import init_exposure_state
+    from rtrt_tpu.render.texture import make_soil_textures
+    from rtrt_tpu.utils.config import FeatureFlags, default_params
+
+    W, H = 64, 32
+    scene = build_demo_scene()
+    pad = padded_arrays(scene)
+    flags = FeatureFlags(ocean=True, stars=True, postprocess=False)
+    static = FrameStatic(render_w=W, render_h=H, screen_w=W, screen_h=H,
+                         num_batches=scene.num_batches, flags=flags,
+                         use_packets=False)
+    sky = finalize_sky_maps(jax.jit(lambda p: bake_sky_maps(
+        p, sky_res=(32, 64), sun_res=(8, 8)))(make_sky_params()))
+    tex = make_soil_textures(16)
+    state = FrameState(vertices=jnp.asarray(scene.vertices),
+                       normals=jnp.asarray(scene.normals),
+                       history=init_history(H, W),
+                       exposure=init_exposure_state(),
+                       frame_idx=jnp.uint32(0), time=jnp.float32(0.0))
+    cam = make_camera(pos=(0.0, 3.0, -9.0), pitch=-0.15)
+    fn = jax.jit(partial(render_frame, static))
+    img, st2 = fn(jnp.asarray(pad["indices"]), jnp.asarray(pad["tri_mat"]),
+                  jnp.asarray(pad["valid"]), scene.materials, tex, sky,
+                  scene.lights, state, cam, cam, default_params(),
+                  jnp.float32(1 / 60))
+    a = np.asarray(img)
+    assert a.shape == (H, W, 3) and a.dtype == np.uint8
+    assert np.isfinite(np.asarray(st2.history.color,
+                                  dtype=np.float32)).all()
