@@ -124,17 +124,29 @@ def _rec_fetch(ref, i, stride, interpret):
 
 
 def traverse_tile(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
-                  stack_ref, ox, oy, oz, dx, dy, dz, t_cap, *,
+                  stack_ref, tstack_ref, ox, oy, oz, dx, dy, dz, t_cap, *,
                   tlas_internal, any_hit, max_steps, interpret=False):
     """Shared-stack packet traversal over one ray tile — pure kernel code,
     reusable from other Pallas kernels (the path-trace megakernel calls this
     once per bounce segment with the stack scratch it owns).
 
     ox..dz/t_cap: (sublane, lane) component arrays; stack_ref: SMEM (STACK,)
-    i32 scratch.  Returns the 12-tuple
+    i32 scratch; tstack_ref: SMEM (STACK,) f32 scratch (per-push tile-min
+    entry distances for ordered-traversal pruning).  Returns the 12-tuple
       (t, tri, u, v, mat, nsx, nsy, nsz, ngx, ngy, ngz, steps)
     with t = +inf where tri < 0 (miss); steps = scalar i32 loop count
     (profiling: tools/profile_frame.py --trace-steps).
+
+    Pruning (packet ordered traversal): each pushed far child records the
+    tile-min slab entry `tn` alongside its stack entry; the scalar prune
+    bound is the max over lanes of the current best hit.  A popped node
+    whose recorded entry is beyond the bound cannot improve ANY lane
+    (tn_lane >= tile_min >= bound >= best_lane), so the whole vector body
+    (fetch, 2 slab tests, leaf triangle tests) is skipped via lax.cond —
+    the step degrades to a few scalar ops.  To keep the bound finite even
+    when rays escape to the sky, best_t is initialized to each lane's exit
+    distance from the scene's ROOT AABB (a hit beyond the root exit is
+    impossible), not +inf.
     """
     tiny = jnp.float32(1e-20)
     sdx = jnp.where(jnp.abs(dx) < tiny, jnp.where(dx >= 0, tiny, -tiny), dx)
@@ -212,134 +224,181 @@ def traverse_tile(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
         inv_det = jnp.where(det != 0.0, 1.0 / det, 0.0)
         return ok, t_s * inv_det, vv * inv_det, ww * inv_det
 
+    # ---- per-lane scene-exit cap (finite prune bound even for sky rays) --
+    # Root node row 0 holds the TLAS root's two child AABBs; their union is
+    # the scene bounds.  A true hit point lies inside the root box, so
+    # t_hit <= root exit; capping best_t there (with f32 slack) is exact.
+    nf0 = _rec_fetch(nodes_f_ref, 0, 16, interpret)
+    rlo = (jnp.minimum(nf0[0], nf0[6]), jnp.minimum(nf0[1], nf0[7]),
+           jnp.minimum(nf0[2], nf0[8]))
+    rhi = (jnp.maximum(nf0[3], nf0[9]), jnp.maximum(nf0[4], nf0[10]),
+           jnp.maximum(nf0[5], nf0[11]))
+    r_tn = jnp.maximum(
+        jnp.maximum((jnp.where(ix < 0, rhi[0], rlo[0]) - ox) * ix,
+                    (jnp.where(iy < 0, rhi[1], rlo[1]) - oy) * iy),
+        (jnp.where(iz < 0, rhi[2], rlo[2]) - oz) * iz)
+    r_tf = jnp.minimum(
+        jnp.minimum((jnp.where(ix < 0, rlo[0], rhi[0]) - ox) * ix,
+                    (jnp.where(iy < 0, rlo[1], rhi[1]) - oy) * iy),
+        (jnp.where(iz < 0, rlo[2], rhi[2]) - oz) * iz) * far_scale
+    hit_root = (r_tn <= r_tf) & (r_tf > RAY_TMIN)
+    exit_cap = jnp.where(hit_root, r_tf * 1.001 + 1e-2, 0.0)
+
     shape = ox.shape
     zf = lambda: jnp.zeros(shape, jnp.float32)
+    best0 = jnp.minimum(t_cap, exit_cap)
     init = (jnp.int32(0),
-            t_cap,
+            best0,
             jnp.full(shape, -1, jnp.int32),
             zf(), zf(),                       # u, v
             jnp.zeros(shape, jnp.int32),      # mat
             zf(), zf(), zf(),                  # shading normal
             zf(), zf(), zf(),                  # geometric normal
             jnp.int32(0),                      # steps
+            jnp.max(best0),                    # scalar prune bound
+            jnp.float32(-jnp.inf),             # cur entry t (root: always)
             jnp.int32(0))                      # cur (TLAS root packed = 0)
     # cur = 0 is valid (TLAS root); sentinel for "no current" = -1
 
     def cond(s):
-        sp, steps, cur = s[0], s[-2], s[-1]
+        sp, steps, cur = s[0], s[-4], s[-1]
         return ((sp > 0) | (cur >= 0)) & (steps < max_steps)
 
     def step(s):
         (sp, best_t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz,
-         steps, cur) = s
+         steps, bound, curt, cur) = s
 
         # pop when no current node (predicated select; SMEM read is cheap)
         need = cur < 0
         top = stack_ref[jnp.maximum(sp - 1, 0)]
+        topt = tstack_ref[jnp.maximum(sp - 1, 0)]
         cur = jnp.where(need, top, cur)
+        curt = jnp.where(need, topt, curt)
         sp = jnp.where(need, sp - 1, sp)
 
-        idx = cur & _IDX_MASK
-        batch = (cur >> _BATCH_SHIFT) & _BATCH_MASK
-        is_blas = (cur & _BLAS_BIT) != 0
-        row = jnp.where(is_blas, tlas_internal + batch * BLAS_NODES + idx,
-                        idx)
-        nf = _rec_fetch(nodes_f_ref, row, 16, interpret)
-        ni = _rec_fetch(nodes_i_ref, row, 2, interpret)
-        le = ni[0]
-        re = ni[1]
+        def visit(args):
+            (sp, best_t, tri, uo, vo, mat,
+             nsx, nsy, nsz, ngx, ngy, ngz, bound) = args
+            idx = cur & _IDX_MASK
+            batch = (cur >> _BATCH_SHIFT) & _BATCH_MASK
+            is_blas = (cur & _BLAS_BIT) != 0
+            row = jnp.where(is_blas,
+                            tlas_internal + batch * BLAS_NODES + idx, idx)
+            nf = _rec_fetch(nodes_f_ref, row, 16, interpret)
+            ni = _rec_fetch(nodes_i_ref, row, 2, interpret)
+            le = ni[0]
+            re = ni[1]
 
-        hl, tl = slab(nf[0], nf[1], nf[2], nf[3], nf[4], nf[5], best_t)
-        hr, tr = slab(nf[6], nf[7], nf[8], nf[9], nf[10], nf[11], best_t)
-        anyl = jnp.any(hl)
-        anyr = jnp.any(hr)
+            hl, tl = slab(nf[0], nf[1], nf[2], nf[3], nf[4], nf[5], best_t)
+            hr, tr = slab(nf[6], nf[7], nf[8], nf[9], nf[10], nf[11], best_t)
+            anyl = jnp.any(hl)
+            anyr = jnp.any(hr)
 
-        # leaf children: test now (scalar tri row, dense lanes);
-        # surface attributes (shading/geometric normals, material) are
-        # computed AT ACCEPT TIME from scalar rows — the integrator
-        # never gathers per-triangle data again
-        def maybe_leaf(e, anyhit_flag, carry):
-            is_leaf = (e & _LEAF_BIT) != 0
-            do = is_leaf & anyhit_flag
+            # leaf children: test now (scalar tri row, dense lanes);
+            # surface attributes (shading/geometric normals, material) are
+            # computed AT ACCEPT TIME from scalar rows — the integrator
+            # never gathers per-triangle data again
+            def maybe_leaf(e, anyhit_flag, carry):
+                is_leaf = (e & _LEAF_BIT) != 0
+                do = is_leaf & anyhit_flag
 
-            def yes(args):
-                (best_t, tri, uo, vo, mat, nsx, nsy, nsz,
-                 ngx, ngy, ngz) = args
-                t_idx = ((e >> _BATCH_SHIFT) & _BATCH_MASK) * BATCH_SIZE \
-                    + (e & _IDX_MASK)
-                v = _rec_fetch(tris_ref, t_idx, 16, interpret)
-                ok, tt, tu, tv = tri_hit(v, best_t)
-                better = ok & (tt < best_t)
-                # scalar geometric normal (per-triangle constant)
-                e1x, e1y, e1z = v[3] - v[0], v[4] - v[1], v[5] - v[2]
-                e2x, e2y, e2z = v[6] - v[0], v[7] - v[1], v[8] - v[2]
-                gx = e1y * e2z - e1z * e2y
-                gy = e1z * e2x - e1x * e2z
-                gz = e1x * e2y - e1y * e2x
-                gl = jax.lax.rsqrt(
-                    jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-20))
-                gx, gy, gz = gx * gl, gy * gl, gz * gl
-                # interpolated shading normal (scalar rows x lane bary)
-                a = _rec_fetch(attr_f_ref, t_idx, 16, interpret)
-                am = _rec_fetch(attr_i_ref, t_idx, 2, interpret)
-                tw = 1.0 - tu - tv
-                inx = tw * a[0] + tu * a[3] + tv * a[6]
-                iny = tw * a[1] + tu * a[4] + tv * a[7]
-                inz = tw * a[2] + tu * a[5] + tv * a[8]
-                return (jnp.where(better, tt, best_t),
-                        jnp.where(better, t_idx, tri),
-                        jnp.where(better, tu, uo),
-                        jnp.where(better, tv, vo),
-                        jnp.where(better, am[0], mat),
-                        jnp.where(better, inx, nsx),
-                        jnp.where(better, iny, nsy),
-                        jnp.where(better, inz, nsz),
-                        jnp.where(better, gx, ngx),
-                        jnp.where(better, gy, ngy),
-                        jnp.where(better, gz, ngz))
+                def yes(args):
+                    (best_t, tri, uo, vo, mat, nsx, nsy, nsz,
+                     ngx, ngy, ngz, bound) = args
+                    t_idx = ((e >> _BATCH_SHIFT) & _BATCH_MASK) * BATCH_SIZE \
+                        + (e & _IDX_MASK)
+                    v = _rec_fetch(tris_ref, t_idx, 16, interpret)
+                    ok, tt, tu, tv = tri_hit(v, best_t)
+                    better = ok & (tt < best_t)
+                    # scalar geometric normal (per-triangle constant)
+                    e1x, e1y, e1z = v[3] - v[0], v[4] - v[1], v[5] - v[2]
+                    e2x, e2y, e2z = v[6] - v[0], v[7] - v[1], v[8] - v[2]
+                    gx = e1y * e2z - e1z * e2y
+                    gy = e1z * e2x - e1x * e2z
+                    gz = e1x * e2y - e1y * e2x
+                    gl = jax.lax.rsqrt(
+                        jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-20))
+                    gx, gy, gz = gx * gl, gy * gl, gz * gl
+                    # interpolated shading normal (scalar rows x lane bary)
+                    a = _rec_fetch(attr_f_ref, t_idx, 16, interpret)
+                    am = _rec_fetch(attr_i_ref, t_idx, 2, interpret)
+                    tw = 1.0 - tu - tv
+                    inx = tw * a[0] + tu * a[3] + tv * a[6]
+                    iny = tw * a[1] + tu * a[4] + tv * a[7]
+                    inz = tw * a[2] + tu * a[5] + tv * a[8]
+                    new_best = jnp.where(better, tt, best_t)
+                    return (new_best,
+                            jnp.where(better, t_idx, tri),
+                            jnp.where(better, tu, uo),
+                            jnp.where(better, tv, vo),
+                            jnp.where(better, am[0], mat),
+                            jnp.where(better, inx, nsx),
+                            jnp.where(better, iny, nsy),
+                            jnp.where(better, inz, nsz),
+                            jnp.where(better, gx, ngx),
+                            jnp.where(better, gy, ngy),
+                            jnp.where(better, gz, ngz),
+                            # prune bound tightens as lanes accept hits
+                            jnp.max(new_best))
 
-            # lax.cond keeps the leaf work off the pure-internal steps
-            # (the kernel is scalar-latency bound, so skipping the tri
-            # fetch+test when no leaf is hit measures faster than
-            # predication here)
-            return jax.lax.cond(do, yes, lambda a: a, carry)
+                # lax.cond keeps the leaf work off the pure-internal steps
+                return jax.lax.cond(do, yes, lambda a: a, carry)
 
-        carry = (best_t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz)
-        carry = maybe_leaf(le, anyl, carry)
-        carry = maybe_leaf(re, anyr, carry)
-        (best_t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz) = carry
+            carry = (best_t, tri, uo, vo, mat, nsx, nsy, nsz,
+                     ngx, ngy, ngz, bound)
+            carry = maybe_leaf(le, anyl, carry)
+            carry = maybe_leaf(re, anyr, carry)
+            (best_t, tri, uo, vo, mat, nsx, nsy, nsz,
+             ngx, ngy, ngz, bound) = carry
 
-        l_int = anyl & ((le & _LEAF_BIT) == 0)
-        r_int = anyr & ((re & _LEAF_BIT) == 0)
+            l_int = anyl & ((le & _LEAF_BIT) == 0)
+            r_int = anyr & ((re & _LEAF_BIT) == 0)
 
-        # near-first by min entry distance over hitting lanes
-        minl = jnp.min(jnp.where(hl, tl, jnp.inf))
-        minr = jnp.min(jnp.where(hr, tr, jnp.inf))
-        l_first = minl <= minr
-        near = jnp.where(l_first, le, re)
-        far = jnp.where(l_first, re, le)
-        near_ok = jnp.where(l_first, l_int, r_int)
-        far_ok = jnp.where(l_first, r_int, l_int)
+            # near-first by min entry distance over hitting lanes
+            minl = jnp.min(jnp.where(hl, tl, jnp.inf))
+            minr = jnp.min(jnp.where(hr, tr, jnp.inf))
+            l_first = minl <= minr
+            near = jnp.where(l_first, le, re)
+            far = jnp.where(l_first, re, le)
+            near_ok = jnp.where(l_first, l_int, r_int)
+            far_ok = jnp.where(l_first, r_int, l_int)
+            near_t = jnp.where(l_first, minl, minr)
+            far_t = jnp.where(l_first, minr, minl)
 
-        # push far
-        def push(sp):
-            stack_ref[sp] = far
-            return sp + 1
+            # push far (with its tile-min entry for pop-time pruning)
+            def push(sp):
+                stack_ref[sp] = far
+                tstack_ref[sp] = far_t
+                return sp + 1
 
-        sp = jax.lax.cond(near_ok & far_ok & (sp < STACK), push,
-                          lambda s: s, sp)
-        nxt = jnp.where(near_ok, near,
-                        jnp.where(far_ok, far, jnp.int32(-1)))
+            sp = jax.lax.cond(near_ok & far_ok & (sp < STACK), push,
+                              lambda s: s, sp)
+            nxt = jnp.where(near_ok, near,
+                            jnp.where(far_ok, far, jnp.int32(-1)))
+            nxt_t = jnp.where(near_ok, near_t, far_t)
+            return (sp, best_t, tri, uo, vo, mat, nsx, nsy, nsz,
+                    ngx, ngy, ngz, bound, nxt_t, nxt)
+
+        def skip(args):
+            # pruned pop: beyond every lane's best — drop it
+            return args + (jnp.float32(jnp.inf), jnp.int32(-1))
+
+        out = jax.lax.cond(
+            curt < bound, visit, skip,
+            (sp, best_t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz,
+             bound))
+        (sp, best_t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz,
+         bound, curt, nxt) = out
         if any_hit:
             done = jnp.all((tri >= 0) | (t_cap <= RAY_TMIN))
             sp = jnp.where(done, 0, sp)
             nxt = jnp.where(done, jnp.int32(-1), nxt)
         return (sp, best_t, tri, uo, vo, mat, nsx, nsy, nsz,
-                ngx, ngy, ngz, steps + 1, nxt)
+                ngx, ngy, ngz, steps + 1, bound, curt, nxt)
 
     out = jax.lax.while_loop(cond, step, init)
     (_, best_t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz,
-     steps, _) = out
+     steps, _, _, _) = out
     return (jnp.where(tri >= 0, best_t, jnp.inf), tri, uo, vo, mat,
             nsx, nsy, nsz, ngx, ngy, ngz, steps)
 
@@ -352,8 +411,8 @@ def _kernel(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
     step0 = pl.program_id(0) == 0  # (before run_scoped: interpret mode
     #                                loses the grid context inside it)
 
-    def run(stack_ref, nodes_f_v, nodes_i_v, tris_v, attr_f_v, attr_i_v,
-            tdma_sem):
+    def run(stack_ref, tstack_ref, nodes_f_v, nodes_i_v, tris_v, attr_f_v,
+            attr_i_v, tdma_sem):
         # stage tables HBM->VMEM once at grid step 0 (Mosaic re-copies
         # pipelined whole-array VMEM inputs on EVERY step; ~2 s/frame at
         # 1080p — same staging as render/megakernel.py)
@@ -369,7 +428,7 @@ def _kernel(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
 
         (t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz, _) = traverse_tile(
             nodes_f_v, nodes_i_v, tris_v, attr_f_v, attr_i_v,
-            stack_ref, ox_ref[0], oy_ref[0], oz_ref[0],
+            stack_ref, tstack_ref, ox_ref[0], oy_ref[0], oz_ref[0],
             dx_ref[0], dy_ref[0], dz_ref[0], tmax_ref[0],
             tlas_internal=tlas_internal, any_hit=any_hit,
             max_steps=max_steps, interpret=interpret)
@@ -386,6 +445,7 @@ def _kernel(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
         ngz_out[0] = ngz
 
     pl.run_scoped(run, pltpu.SMEM((STACK,), jnp.int32),
+                  pltpu.SMEM((STACK,), jnp.float32),
                   pltpu.VMEM(nodes_f_ref.shape, jnp.float32),
                   pltpu.VMEM(nodes_i_ref.shape, jnp.int32),
                   pltpu.VMEM(tris_ref.shape, jnp.float32),

@@ -318,7 +318,7 @@ def _mega_kernel(sun_ref, frame_ref,
                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                  cone_ref, pix_ref, bnx_ref, bny_ref,
                  out_o,
-                 stack_ref, park_ref,
+                 stack_ref, tstack_ref, park_ref,
                  nodes_f_v, nodes_i_v, tris_v, attr_f_v, attr_i_v,
                  tdma_sem,
                  *, tlas_internal, n_materials, n_lights, segments,
@@ -399,7 +399,7 @@ def _mega_kernel(sun_ref, frame_ref,
 
         hit = traverse_tile(
             nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
-            stack_ref, st.org.x, st.org.y, st.org.z,
+            stack_ref, tstack_ref, st.org.x, st.org.y, st.org.z,
             st.dir.x, st.dir.y, st.dir.z, t_cap,
             tlas_internal=tlas_internal, any_hit=False, max_steps=max_steps,
             interpret=interpret)
@@ -535,6 +535,7 @@ def megakernel_trace(tables: PacketTables, mat_rows, light_rows, sun_vec,
         out_specs=out_spec,
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32),
+                        pltpu.SMEM((STACK,), jnp.float32),
                         pltpu.VMEM((28,) + TILE_SHAPE, jnp.float32),
                         pltpu.VMEM(tables.nodes_f32.shape, jnp.float32),
                         pltpu.VMEM(tables.nodes_i32.shape, jnp.int32),
