@@ -210,6 +210,13 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
     # ---- path trace: megakernel (one Pallas launch) or wavefront ----
     if static.use_megakernel:
         from ..render.megakernel import path_trace_mega
+        if static.stop_after == "steps":
+            # traversal-step telemetry (profile_frame.py --trace-steps)
+            steps = path_trace_mega(
+                scene, rays, pixel_ids, frame_idx, prev_basis, w / h,
+                use_proctex=static.flags.procedural_textures, bn=bn,
+                debug_steps=True)
+            return (steps[:h, :w],), state
         gbuf: GBuffer = path_trace_mega(
             scene, rays, pixel_ids, frame_idx, prev_basis, w / h,
             use_proctex=static.flags.procedural_textures, bn=bn,

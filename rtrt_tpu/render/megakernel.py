@@ -670,8 +670,14 @@ def finish_gbuffer(scene, rays, out: MegaOut, prev_basis, aspect,
 
 def path_trace_mega(scene, rays, pixel_ids, frame_idx, prev_basis, aspect,
                     max_steps: int = PACKET_MAX_STEPS, use_proctex: bool = True,
-                    bn=None, interpret: bool = False, env_fn=None):
-    """Drop-in replacement for integrator.path_trace using the megakernel."""
+                    bn=None, interpret: bool = False, env_fn=None,
+                    debug_steps: bool = False):
+    """Drop-in replacement for integrator.path_trace using the megakernel.
+
+    debug_steps=True returns the per-pixel TOTAL traversal step count
+    (uniform within each ray tile; all 5 segments summed) instead of a
+    G-buffer — the step-union telemetry behind
+    `tools/profile_frame.py --trace-steps`."""
     from ..bvh.packet import pack_for_packets
     from .kshade import pack_materials_rows
 
@@ -686,5 +692,7 @@ def path_trace_mega(scene, rays, pixel_ids, frame_idx, prev_basis, aspect,
         tlas_internal=scene.bvh.tlas_internal,
         n_materials=mat_rows.shape[0], n_lights=n_lights,
         max_steps=max_steps, use_proctex=use_proctex, bn=bn,
-        interpret=interpret)
+        interpret=interpret, debug_steps=debug_steps)
+    if debug_steps:
+        return out.esc_pdf  # steps plane (kernel overwrites esc_pdf)
     return finish_gbuffer(scene, rays, out, prev_basis, aspect, env_fn=env_fn)

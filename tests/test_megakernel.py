@@ -128,3 +128,16 @@ def test_pallas_tpu_matches_simulator(setup):
     got = jax.jit(lambda: path_trace_mega(
         scene, rays, pixel_ids, frame, basis, W / H))()
     _gbuffers_close(ref, got, atol=5e-3, frac=0.97)
+
+
+def test_debug_steps_telemetry(setup):
+    """debug_steps returns a per-pixel total-step plane, uniform within
+    each ray tile and positive (profile_frame.py --trace-steps)."""
+    scene, rays, pixel_ids, frame, basis = setup
+    steps = jax.jit(lambda: path_trace_mega(
+        scene, rays, pixel_ids, frame, basis, W / H, max_steps=512,
+        interpret=True, debug_steps=True))()
+    s = np.asarray(steps).reshape(-1)
+    assert s.size == H * W  # flat-ray mode here (img mode gives (H, W))
+    assert (s > 0).all() and (s == s[0]).all()  # one tile here
+    assert s[0] < 5 * 512  # within the per-segment cap

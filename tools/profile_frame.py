@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--frames", type=int, default=5)
     ap.add_argument("--stages", default=",".join(STAGES),
                     help="comma list of cut points to time")
+    ap.add_argument("--trace-steps", action="store_true",
+                    help="dump per-tile traversal step-count stats instead "
+                         "of stage timings (megakernel debug_steps plane)")
     args = ap.parse_args()
 
     import jax
@@ -51,6 +54,25 @@ def main():
     eng = Engine(settings)
     static = eng._static                      # the live bucket's config
     frame_args = eng._frame_args(dt=1 / 60)   # same inputs the engine uses
+
+    if args.trace_steps:
+        import numpy as np
+
+        from rtrt_tpu.bvh.packet import TILE_SHAPE
+        assert static.use_megakernel, "--trace-steps needs the megakernel"
+        fn = make_frame_fn(static._replace(stop_after="steps"))
+        (steps,), _ = fn(*frame_args)
+        s = np.asarray(steps)
+        th, tw = TILE_SHAPE
+        tiles = s[::th, ::tw]  # uniform within each tile
+        flat = np.sort(tiles.reshape(-1))
+        print(f"\nscene={args.scene} tris={eng.scene.num_tris} "
+              f"{args.width}x{args.height}  tiles={flat.size} "
+              f"({th}x{tw} px, all segments summed)")
+        print(f"steps/tile: total={flat.sum():.0f} mean={flat.mean():.0f} "
+              f"p50={flat[flat.size // 2]:.0f} "
+              f"p90={flat[int(flat.size * 0.9)]:.0f} max={flat[-1]:.0f}")
+        return
 
     stages = [s.strip() for s in args.stages.split(",")]
     cum = {}
