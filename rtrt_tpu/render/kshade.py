@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from .bsdf import (MAT_GGX, MAT_GLASS, MAT_LAMBERT, MAT_MIRROR,
-                   fresnel_dielectric, ggx_d, smith_g2)
+                   fresnel_dielectric, ggx_d, smith_g1, smith_g2)
 from .sampling import (INV_2POW24, TWO_PI, _sobol_dim0, _sobol_dim1,
                        _to_unit_float, hash_combine, owen_scramble,
                        pixel_seed)
@@ -212,16 +212,42 @@ def fresnel_schlick_c(cos_theta, f0: V3) -> V3:
               f0.z + (1.0 - f0.z) * m5)
 
 
-def ggx_sample_h_c(n: V3, u1, u2, alpha) -> V3:
-    cos_t = jnp.sqrt(jnp.maximum(0.0, (1.0 - u1) /
-                                 (1.0 + (alpha * alpha - 1.0) * u1)))
-    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+def ggx_sample_h_c(n: V3, wo: V3, u1, u2, alpha) -> V3:
+    """VNDF visible-half-vector sample (mirror of bsdf.ggx_sample_h)."""
+    t, b = orthonormal_basis_c(n)
+    vx = vdot(wo, t)
+    vy = vdot(wo, b)
+    vz = jnp.maximum(vdot(wo, n), 1e-6)
+    vhx, vhy, vhz = alpha * vx, alpha * vy, vz
+    inv_len = jax.lax.rsqrt(jnp.maximum(vhx * vhx + vhy * vhy + vhz * vhz,
+                                        1e-20))
+    vhx, vhy, vhz = vhx * inv_len, vhy * inv_len, vhz * inv_len
+    lensq = vhx * vhx + vhy * vhy
+    invl = jax.lax.rsqrt(jnp.maximum(lensq, 1e-20))
+    ok = lensq > 1e-12
+    t1x = jnp.where(ok, -vhy * invl, 1.0)
+    t1y = jnp.where(ok, vhx * invl, 0.0)
+    t2x = -vhz * t1y
+    t2y = vhz * t1x
+    t2z = vhx * t1y - vhy * t1x
+    r = jnp.sqrt(u1)
     phi = 2.0 * jnp.pi * u2
-    local = V3(sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t)
-    return local_to_world_c(local, n)
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + vhz)
+    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1)) + s * p2
+    p3 = jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1 - p2 * p2))
+    nhx = p1 * t1x + p2 * t2x + p3 * vhx
+    nhy = p1 * t1y + p2 * t2y + p3 * vhy
+    nhz = p2 * t2z + p3 * vhz
+    hx, hy, hz = alpha * nhx, alpha * nhy, jnp.maximum(nhz, 1e-6)
+    inv_h = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-20))
+    hx, hy, hz = hx * inv_h, hy * inv_h, hz * inv_h
+    return t * hx + b * hy + n * hz
 
 
 def ggx_eval_c(n: V3, wo: V3, wi: V3, albedo: V3, f0: V3, alpha):
+    """f and the VNDF sampling pdf (mirror of bsdf.ggx_eval)."""
     h = vnormalize(wo + wi)
     n_dot_v = jnp.maximum(vdot(n, wo), 0.0)
     n_dot_l = jnp.maximum(vdot(n, wi), 0.0)
@@ -232,7 +258,7 @@ def ggx_eval_c(n: V3, wo: V3, wi: V3, albedo: V3, f0: V3, alpha):
     f_spec = fresnel_schlick_c(v_dot_h, f0)
     scale = d * g / jnp.maximum(4.0 * n_dot_v * n_dot_l, 1e-6)
     f = f_spec * albedo * scale
-    pdf = d * n_dot_h / jnp.maximum(4.0 * v_dot_h, 1e-6)
+    pdf = smith_g1(n_dot_v, alpha) * d / jnp.maximum(4.0 * n_dot_v, 1e-6)
     valid = (n_dot_l > 0.0) & (n_dot_v > 0.0)
     zero = v3_const(0.0, 0.0, 0.0)
     return vwhere(valid, f, zero), jnp.where(valid, pdf, 0.0)
@@ -266,7 +292,7 @@ def sample_bsdf_c(mtype, albedo: V3, roughness, ior, f0: V3, n: V3, wo: V3,
     choose_refl = (u1 < fr) | tir
     wi_gls = vwhere(choose_refl, reflect_c(-wo, n), refr_dir)
 
-    h = ggx_sample_h_c(n, u1, u2, alpha)
+    h = ggx_sample_h_c(n, wo, u1, u2, alpha)
     wi_ggx = reflect_c(-wo, h)
     f_ggx, pdf_ggx = ggx_eval_c(n, wo, wi_ggx, albedo, f0, alpha)
     cos_ggx = jnp.maximum(vdot(n, wi_ggx), 0.0)
