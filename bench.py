@@ -42,9 +42,13 @@ def main():
     from rtrt_tpu.engine.engine import Engine
     from rtrt_tpu.utils.config import DynamicResolution, GlobalSettings
 
+    # terrain_big: the >=200k-tri config (reference envelope reaches 1M,
+    # src/kernel.cuh:54-55); plain terrain (36.8k) is the headline scene
+    chunks = 10 if SCENE == "terrain_big" else 4
+    scene = "terrain" if SCENE.startswith("terrain") else SCENE
     settings = GlobalSettings(
-        render_width=BENCH_W, render_height=BENCH_H, scene=SCENE,
-        texture_size=256,
+        render_width=BENCH_W, render_height=BENCH_H, scene=scene,
+        texture_size=256, terrain_chunks=chunks,
         dynamic_resolution=DynamicResolution(enabled=False))
     eng = Engine(settings)
 

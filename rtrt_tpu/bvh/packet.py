@@ -42,9 +42,20 @@ from jax.experimental.pallas import tpu as pltpu
 from .types import (BATCH_SIZE, BLAS_NODES, SceneBvh, entry_batch, entry_idx,
                     entry_is_blas, entry_is_leaf)
 
-TILE = 8192          # rays per packet (64x128-px blocks, frame.py order;
-                     # measured best of 1k/2k/4k/8k/16k at 1080p terrain)
-TILE_SHAPE = (64, 128)
+# Rays per packet and the pixel-block shape a packet covers (frame.py
+# order).  8192 as (64,128) measured best of 1k/2k/4k/8k/16k at 1080p
+# terrain in round 1 (pre-megakernel).  RTRT_TILE_SHAPE="HxW" overrides at
+# import for tuning sweeps (H multiple of 8, W multiple of 128) —
+# tools/tune_tile.py.
+import os as _os
+
+_ts = _os.environ.get("RTRT_TILE_SHAPE")
+if _ts:
+    TILE_SHAPE = tuple(int(x) for x in _ts.lower().split("x"))
+    assert TILE_SHAPE[0] % 8 == 0 and TILE_SHAPE[1] % 128 == 0, _ts
+else:
+    TILE_SHAPE = (64, 128)
+TILE = TILE_SHAPE[0] * TILE_SHAPE[1]
 STACK = 512          # shared per-tile stack depth (scalars in SMEM).
                      # Big (64x128-px) tiles union many subtrees; 64 was
                      # observed to overflow on the terrain scene, silently
