@@ -91,3 +91,49 @@ def test_packet_anyhit_tmax(rng):
     assert tri[0] >= 0 and tri[1] >= 0      # blocker at t=5 within 10
     assert tri[2] < 0 and tri[3] < 0        # t_max=1 < 5: unoccluded
     assert tri[5] < 0                        # t_max=0: lane disabled
+
+
+def test_packet_interpret_matches_wavefront(rng):
+    """CPU (interpret-mode) twin of the TPU cross-check: guards the
+    traversal rewrite (ordered pruning, scene-exit caps) without hardware.
+    Smaller scene/ray count — the interpreter pays per step."""
+    from rtrt_tpu.bvh.build import build_scene_bvh
+    from rtrt_tpu.bvh.packet import TILE, pack_for_packets, packet_intersect
+    from rtrt_tpu.bvh.traverse import intersect_scene
+    from rtrt_tpu.bvh.types import BATCH_SIZE
+    from rtrt_tpu.core.vecmath import normalize
+
+    num = 300
+    c = rng.uniform(-8, 8, (num, 3)).astype(np.float32)
+    c[:, 1] = np.sin(c[:, 0]) * np.cos(c[:, 2])
+    c[200:, 1] += rng.uniform(2, 5, 100).astype(np.float32)
+    e1 = rng.uniform(-0.7, 0.7, (num, 3)).astype(np.float32)
+    e2 = rng.uniform(-0.7, 0.7, (num, 3)).astype(np.float32)
+    total = 2 * BATCH_SIZE
+    z = np.zeros((total - num, 3), np.float32)
+    stack = lambda a: jnp.asarray(
+        np.concatenate([a, z]).reshape(2, BATCH_SIZE, 3))
+    valid = jnp.asarray(np.concatenate(
+        [np.ones(num, bool),
+         np.zeros(total - num, bool)]).reshape(2, BATCH_SIZE))
+    bvh = jax.jit(build_scene_bvh)(stack(c), stack(c + e1), stack(c + e2),
+                                   valid)
+    tables = jax.jit(pack_for_packets)(bvh)
+
+    n = TILE  # exactly one packet tile
+    # mix: coherent down-looking rays (prunable) + random rays (incl. sky)
+    org = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    org[: n // 2, 1] = 9.0
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[: n // 2, 1] = -np.abs(d[: n // 2, 1]) - 1.0
+    dirs = normalize(jnp.asarray(d))
+    org = jnp.asarray(org)
+
+    ph = packet_intersect(tables, org, dirs, tlas_internal=bvh.tlas_internal,
+                          interpret=True)
+    wf = jax.jit(lambda b, o, dd: intersect_scene(b, o, dd, max_steps=8192))(
+        bvh, org, dirs)
+    pt, wt = np.asarray(ph.t), np.asarray(wf.t)
+    assert (np.isfinite(pt) == np.isfinite(wt)).mean() > 0.999
+    m = np.isfinite(pt) & np.isfinite(wt)
+    np.testing.assert_allclose(pt[m], wt[m], rtol=1e-4, atol=1e-4)
