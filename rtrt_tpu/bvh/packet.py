@@ -136,7 +136,8 @@ def _rec_fetch(ref, i, stride, interpret):
 
 def traverse_tile(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
                   stack_ref, tstack_ref, ox, oy, oz, dx, dy, dz, t_cap, *,
-                  tlas_internal, any_hit, max_steps, interpret=False):
+                  tlas_internal, any_hit, max_steps, first_hit=None,
+                  interpret=False):
     """Shared-stack packet traversal over one ray tile — pure kernel code,
     reusable from other Pallas kernels (the path-trace megakernel calls this
     once per bounce segment with the stack scratch it owns).
@@ -147,6 +148,13 @@ def traverse_tile(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
       (t, tri, u, v, mat, nsx, nsy, nsz, ngx, ngy, ngz, steps)
     with t = +inf where tri < 0 (miss); steps = scalar i32 loop count
     (profiling: tools/profile_frame.py --trace-steps).
+
+    first_hit: optional (sublane, lane) bool mask of PER-LANE any-hit
+    lanes (shadow rays): on their first accepted hit, best_t collapses to
+    0 so the lane stops contributing to the tile's step union — occlusion
+    needs ANY hit under t_cap, not the closest (the lane's returned t is
+    meaningless; tri >= 0 is the occlusion flag).  The static `any_hit`
+    flag additionally terminates the WHOLE tile once every lane resolved.
 
     Pruning (packet ordered traversal): each pushed far child records the
     tile-min slab entry `tn` alongside its stack entry; the scalar prune
@@ -257,7 +265,12 @@ def traverse_tile(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
 
     shape = ox.shape
     zf = lambda: jnp.zeros(shape, jnp.float32)
-    best0 = jnp.minimum(t_cap, exit_cap)
+    # done lanes (t_cap <= 0) must leave the union COMPLETELY: with a 0
+    # bound the slab test tn < 0 still passes for every box containing the
+    # lane's origin (tn is negative inside), keeping its whole ancestor
+    # chain in play; -inf excludes everything
+    best0 = jnp.where(t_cap > 0.0, jnp.minimum(t_cap, exit_cap),
+                      -jnp.inf)
     init = (jnp.int32(0),
             best0,
             jnp.full(shape, -1, jnp.int32),
@@ -272,8 +285,11 @@ def traverse_tile(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
     # cur = 0 is valid (TLAS root); sentinel for "no current" = -1
 
     def cond(s):
-        sp, steps, cur = s[0], s[-4], s[-1]
-        return ((sp > 0) | (cur >= 0)) & (steps < max_steps)
+        sp, steps, bound, cur = s[0], s[-4], s[-3], s[-1]
+        # bound == -inf: every lane is done/resolved — nothing can accept
+        # a hit anymore, so skip the stack drain entirely
+        return ((sp > 0) | (cur >= 0)) & (steps < max_steps) \
+            & (bound != -jnp.inf)
 
     def step(s):
         (sp, best_t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz,
@@ -321,6 +337,11 @@ def traverse_tile(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
                     v = _rec_fetch(tris_ref, t_idx, 16, interpret)
                     ok, tt, tu, tv = tri_hit(v, best_t)
                     better = ok & (tt < best_t)
+                    if first_hit is not None:
+                        # per-lane any-hit: an occluded shadow lane leaves
+                        # the union entirely (-inf best fails every slab
+                        # and triangle test; callers never read its t)
+                        tt = jnp.where(first_hit & better, -jnp.inf, tt)
                     # scalar geometric normal (per-triangle constant)
                     e1x, e1y, e1z = v[3] - v[0], v[4] - v[1], v[5] - v[2]
                     e2x, e2y, e2z = v[6] - v[0], v[7] - v[1], v[8] - v[2]

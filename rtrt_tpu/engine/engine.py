@@ -64,6 +64,24 @@ def _res_for_height(h: int):
     return w, h
 
 
+def packet_tables_fit(num_batches: int) -> bool:
+    """Whether the scene's packed BVH tables fit the packet kernel's VMEM
+    staging budget.
+
+    The packet/megakernel paths stage the whole node+triangle table set
+    into VMEM scratch (bvh/packet.py: 72 B/node + 136 B/tri); past the
+    budget (v5e: 128 MiB physical, ~114 MiB scoped, minus ray/output
+    blocks) that staging cannot compile, so huge scenes — the reference
+    envelope reaches 1M tris (src/kernel.cuh:54-55) — fall back to the XLA
+    wavefront traverser: slower but scene-size unbounded."""
+    from ..bvh.types import BATCH_SIZE, BLAS_NODES
+    nodes = 2 * num_batches + num_batches * BLAS_NODES
+    tris = num_batches * BATCH_SIZE
+    table_mb = (nodes * (64 + 8) + tris * (64 + 64 + 8)) / 2**20
+    budget_mb = float(os.environ.get("RTRT_VMEM_TABLE_BUDGET_MB", "96"))
+    return table_mb <= budget_mb
+
+
 class Engine:
     """Public API: `Engine(settings).render_frame() -> (H,W,3) uint8`."""
 
@@ -142,15 +160,18 @@ class Engine:
 
     def _static_for(self, bucket_h: int) -> FrameStatic:
         w, h = _res_for_height(bucket_h)
+        packets_fit = packet_tables_fit(self.scene.num_batches)
+        b = self.scene.num_batches
         return FrameStatic(
             render_w=w, render_h=h,
             screen_w=self.settings.render_width,
             screen_h=self.settings.render_height,
-            num_batches=self.scene.num_batches,
+            num_batches=b,
             flags=self.flags,
-            use_packets=_tpu_available(),
-            use_megakernel=(_tpu_available()
+            use_packets=_tpu_available() and packets_fit,
+            use_megakernel=(_tpu_available() and packets_fit
                             and os.environ.get("RTRT_MEGAKERNEL", "1") != "0"),
+            bounce_subtile=int(os.environ.get("RTRT_BOUNCE_SUBTILE", "0")),
             animation=self.animation)
 
     def _set_bucket(self, bucket_h: int):

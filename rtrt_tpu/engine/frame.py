@@ -69,6 +69,11 @@ class FrameStatic(NamedTuple):
     max_traversal_steps: int = 1024
     use_packets: bool = True  # Pallas packet kernel (TPU); False = XLA loop
     use_megakernel: bool = False  # whole bounce program in ONE Pallas kernel
+    bounce_subtile: int = 0   # >0: bounce segments traverse in strips this
+    #   many pixel rows high (megakernel only) — cuts the per-step dense
+    #   work on direction-incoherent bounce rays; 0 = whole-tile unions
+    pallas_interpret: bool = False  # run Pallas kernels in interpret mode
+    #   (CPU validation of kernel paths, e.g. the sharded megakernel test)
     animation: str = "none"   # none | wave — in-jit vertex displacement
     stop_after: str = "full"  # full | bvh | trace | denoise — profiling
     #   harness cut points: the frame program ends after the named stage so
@@ -95,7 +100,7 @@ def compute_smooth_normals(vertices, indices):
 def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
                  textures, sky: SkyMaps, lights, state: FrameState,
                  camera: Camera, prev_camera: Camera, params: RenderParams,
-                 dt, row_sharding=None):
+                 dt, row_sharding=None, trace_mesh=None):
     """One full frame.  Returns (u8 image (screen_h, screen_w, 3), new state).
 
     indices/tri_mat/valid: padded static scene arrays (engine/scene.py);
@@ -211,16 +216,20 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
     if static.use_megakernel:
         from ..render.megakernel import path_trace_mega
         if static.stop_after == "steps":
-            # traversal-step telemetry (profile_frame.py --trace-steps)
+            # traversal-step telemetry (profile_frame.py --trace-steps):
+            # (SEGMENTS+1, h, w) = [total, seg0, seg1, ...]
             steps = path_trace_mega(
                 scene, rays, pixel_ids, frame_idx, prev_basis, w / h,
                 use_proctex=static.flags.procedural_textures, bn=bn,
-                debug_steps=True)
-            return (steps[:h, :w],), state
+                subtile_rows=static.bounce_subtile,
+                interpret=static.pallas_interpret, debug_steps=True)
+            return (steps[:, :h, :w],), state
         gbuf: GBuffer = path_trace_mega(
             scene, rays, pixel_ids, frame_idx, prev_basis, w / h,
             use_proctex=static.flags.procedural_textures, bn=bn,
-            env_fn=env_fn)
+            subtile_rows=static.bounce_subtile,
+            interpret=static.pallas_interpret, env_fn=env_fn,
+            mesh=trace_mesh)
         crop = lambda x: x[:h, :w]
     else:
         gbuf: GBuffer = path_trace(

@@ -95,15 +95,22 @@ def make_spmd_frame_fn(mesh: Mesh, static: FrameStatic):
     """jit-compile the real frame program for the mesh.
 
     Requires render_h (and screen_h) divisible by the mesh size so row
-    shards are equal.  The Pallas megakernel/packet kernels are per-device
-    programs — the SPMD frame currently runs the XLA wavefront path
-    (use_packets=False); fusing Pallas under shard_map inside this frame
-    is the known next step for real pods (ROADMAP).
+    shards are equal.  Two trace paths:
+
+    * use_megakernel=True — the Pallas megakernel launches per device
+      under `shard_map` (render/megakernel.py::_megakernel_trace_sharded):
+      image rows shard, scene tables replicate, each chip traces its own
+      row block.  Needs render rows divisible by n x TILE_SHAPE[0] (the
+      kernel's pixel-block height) per shard — the real-pod configuration.
+    * otherwise — the XLA wavefront path, partitioned automatically by
+      GSPMD from the row-sharding constraints (any row count divisible
+      by n; the dryrun's tiny-shape configuration).
     """
     n = mesh.devices.size
     assert static.render_h % n == 0 and static.screen_h % n == 0, \
         f"render_h={static.render_h} must divide over {n} row shards"
-    assert not static.use_megakernel and not static.use_packets, \
-        "SPMD frame runs the XLA wavefront path (Pallas is per-device)"
-    fn = partial(render_frame, static, row_sharding=_row_sharder(mesh))
+    assert not (static.use_packets and not static.use_megakernel), \
+        "SPMD packet path goes through the megakernel (use_megakernel=True)"
+    fn = partial(render_frame, static, row_sharding=_row_sharder(mesh),
+                 trace_mesh=mesh if static.use_megakernel else None)
     return jax.jit(fn)

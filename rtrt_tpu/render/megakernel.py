@@ -171,7 +171,10 @@ def shade_segment(st: PathState, hit, ctx: ShadeCtx, pix, frame, seg: int,
 
     # ---------------- surface interaction ----------------
     wo = -st.dir
-    ts = jnp.minimum(ht, 1e8)  # finite everywhere; == ht on live lanes
+    # finite everywhere; == ht on live lanes (misses carry +inf; resolved
+    # shadow lanes carry -inf after the first-hit collapse — clip both so
+    # pos/cone stay NaN-free on the masked-out lanes)
+    ts = jnp.clip(ht, 0.0, 1e8)
     pos = st.org + st.dir * ts
     cone_w = st.cone * ts
     ns, ng = orient_normals_c(V3(nsx, nsy, nsz), V3(ngx, ngy, ngz), wo)
@@ -320,9 +323,9 @@ def _mega_kernel(sun_ref, frame_ref,
                  out_o,
                  stack_ref, tstack_ref, park_ref,
                  nodes_f_v, nodes_i_v, tris_v, attr_f_v, attr_i_v,
-                 tdma_sem,
-                 *, tlas_internal, n_materials, n_lights, segments,
-                 max_steps, use_proctex, use_bn, img_mode,
+                 tdma_sem, *sub_refs,
+                 tlas_internal, n_materials, n_lights, segments,
+                 max_steps, use_proctex, use_bn, img_mode, subtile_rows=0,
                  debug_steps=False, interpret=False):
     # --- stage the BVH/attribute tables into VMEM ONCE (grid step 0) ---
     # As pipelined VMEM inputs, Mosaic re-copied the whole table set from
@@ -367,7 +370,73 @@ def _mega_kernel(sun_ref, frame_ref,
     st = init_state(V3(rd(ox_ref), rd(oy_ref), rd(oz_ref)),
                     V3(rd(dx_ref), rd(dy_ref), rd(dz_ref)), rd(cone_ref))
 
+    def traverse_full(org, dir, t_cap, fh):
+        return traverse_tile(
+            nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
+            stack_ref, tstack_ref, org.x, org.y, org.z,
+            dir.x, dir.y, dir.z, t_cap,
+            tlas_internal=tlas_internal, any_hit=False, max_steps=max_steps,
+            first_hit=fh, interpret=interpret)
+
+    def traverse_subtiled(org, dir, t_cap, fh):
+        """Bounce-segment traversal in SUBTILE_ROWS-high strips.
+
+        Bounce rays are direction-incoherent: a whole-tile traversal pays
+        its step UNION on every lane — near the sum of per-lane node visits
+        when rays diverge, so each step's dense (th,tw) work serves few
+        lanes.  Running (sub,tw) strips sequentially does ~the same total
+        steps but TILE_SHAPE[0]/sub times less vector work per step, and a
+        strip whose lanes are ALL done (sky regions — pixel-local, so they
+        cluster at strip granularity) skips traversal entirely.  Primary
+        rays (seg 0) keep the full-tile union: image-coherent rays share it.
+        """
+        tin_ref, toutf_ref, touti_ref = sub_refs
+        th, tw = t_cap.shape
+        sub = subtile_rows
+        for k, v in enumerate((org.x, org.y, org.z, dir.x, dir.y, dir.z,
+                               t_cap, fh.astype(jnp.float32))):
+            tin_ref[pl.ds(k * th, th), :] = v
+
+        def body(k, steps_acc):
+            r0 = k * sub
+            comp = [tin_ref[pl.ds(i * th + r0, sub), :] for i in range(8)]
+            tc = comp[6]
+
+            def do_trace(_):
+                return traverse_tile(
+                    nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref,
+                    attr_i_ref, stack_ref, tstack_ref, *comp[:7],
+                    tlas_internal=tlas_internal, any_hit=False,
+                    max_steps=max_steps, first_hit=comp[7] > 0.0,
+                    interpret=interpret)
+
+            def no_trace(_):
+                shp = (sub, tw)
+                zf = jnp.zeros(shp, jnp.float32)
+                return (jnp.full(shp, jnp.inf, jnp.float32),
+                        jnp.full(shp, -1, jnp.int32), zf, zf,
+                        jnp.zeros(shp, jnp.int32), zf, zf, zf, zf, zf, zf,
+                        jnp.int32(0))
+
+            res = jax.lax.cond(jnp.any(tc > 0.0), do_trace, no_trace, 0)
+            (ht, tri, hu, hv, hmat,
+             nsx, nsy, nsz, ngx, ngy, ngz, stp) = res
+            for i, v in enumerate((ht, hu, hv, nsx, nsy, nsz,
+                                   ngx, ngy, ngz)):
+                toutf_ref[pl.ds(i * th + r0, sub), :] = v
+            touti_ref[pl.ds(0 * th + r0, sub), :] = tri
+            touti_ref[pl.ds(1 * th + r0, sub), :] = hmat
+            return steps_acc + stp
+
+        steps = jax.lax.fori_loop(0, th // sub, body, jnp.int32(0))
+        f = [toutf_ref[pl.ds(i * th, th), :] for i in range(9)]
+        tri = touti_ref[pl.ds(0, th), :]
+        hmat = touti_ref[pl.ds(th, th), :]
+        return (f[0], tri, f[1], f[2], hmat,
+                f[3], f[4], f[5], f[6], f[7], f[8], steps)
+
     total_steps = jnp.int32(0)
+    seg_steps = []
     for seg in range(segments):
         t_cap = jnp.where(st.done, 0.0,
                           jnp.where(st.is_shadow, st.shadow_tmax, jnp.inf))
@@ -397,13 +466,15 @@ def _mega_kernel(sun_ref, frame_ref,
                 | (st.got_primary.astype(jnp.int32) << 5))
         park_ref[27] = bits.astype(jnp.float32)
 
-        hit = traverse_tile(
-            nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
-            stack_ref, tstack_ref, st.org.x, st.org.y, st.org.z,
-            st.dir.x, st.dir.y, st.dir.z, t_cap,
-            tlas_internal=tlas_internal, any_hit=False, max_steps=max_steps,
-            interpret=interpret)
+        # shadow lanes resolve on ANY hit under t_cap — they leave the
+        # step union at their first occluder (bvh/packet.py first_hit)
+        fh = st.is_shadow & ~st.done
+        if subtile_rows and seg >= 1:
+            hit = traverse_subtiled(st.org, st.dir, t_cap, fh)
+        else:
+            hit = traverse_full(st.org, st.dir, t_cap, fh)
         total_steps = total_steps + hit[-1]
+        seg_steps.append(hit[-1])
         hit = hit[:-1]
 
         # --- unpark ---
@@ -428,17 +499,23 @@ def _mega_kernel(sun_ref, frame_ref,
     # single packed output plane-stack (stays in HBM: too big for XLA to
     # elect into VMEM — see megakernel_trace)
     esc_pdf_plane = jnp.where(st.esc_delta, -1.0, st.esc_pdf)
+    esc_planes = [st.esc_dir.x, st.esc_dir.y, st.esc_dir.z,
+                  st.esc_beta.x, st.esc_beta.y, st.esc_beta.z]
     if debug_steps:
         # profiling mode: overwrite the esc_pdf plane with the tile's total
-        # traversal step count (uniform across the tile)
+        # traversal step count, and the esc_dir/esc_beta planes with the
+        # PER-SEGMENT counts (uniform across the tile) — distinguishes the
+        # coherent primary union from the bounce-ray unions
         esc_pdf_plane = jnp.full(esc_pdf_plane.shape,
                                  total_steps.astype(jnp.float32))
+        for k, s in enumerate(seg_steps[:len(esc_planes)]):
+            esc_planes[k] = jnp.full(esc_pdf_plane.shape,
+                                     s.astype(jnp.float32))
     planes = (st.radiance.x, st.radiance.y, st.radiance.z,
               st.albedo.x, st.albedo.y, st.albedo.z,
               st.normal.x, st.normal.y, st.normal.z,
               st.depth, st.mat_id.astype(jnp.float32),
-              st.esc_dir.x, st.esc_dir.y, st.esc_dir.z,
-              st.esc_beta.x, st.esc_beta.y, st.esc_beta.z,
+              *esc_planes,
               esc_pdf_plane)
     for k, v in enumerate(planes):
         if img_mode:
@@ -451,15 +528,22 @@ def megakernel_trace(tables: PacketTables, mat_rows, light_rows, sun_vec,
                      frame_idx, org, dir, cone, pixel_ids, *,
                      tlas_internal, n_materials, n_lights,
                      segments=SEGMENTS, max_steps=PACKET_MAX_STEPS,
-                     use_proctex=True, bn=None, debug_steps=False,
-                     interpret=False) -> MegaOut:
+                     use_proctex=True, bn=None, subtile_rows=0,
+                     debug_steps=False, interpret=False) -> MegaOut:
     """Trace full paths for (N,3) primary rays in one Pallas launch.
 
     Pads N to a TILE multiple internally (pad lanes duplicate ray 0 and are
     discarded).  mat_rows: (M, MAT_ROW) from kshade.pack_materials_rows;
     light_rows: (L, 8) from pack_light_rows; sun_vec: (16,) from
     pack_sun_params; frame_idx: () uint32/int32 scalar.
+
+    subtile_rows > 0 runs bounce segments (seg >= 1) as sequential
+    (subtile_rows, TILE_SHAPE[1]) strip traversals instead of one
+    whole-tile union — see _mega_kernel.traverse_subtiled.
     """
+    if subtile_rows:
+        assert subtile_rows % 8 == 0 and TILE_SHAPE[0] % subtile_rows == 0, \
+            (subtile_rows, TILE_SHAPE)
     img_mode = org.ndim == 3  # (hp, wp, 3) image inputs vs flat (N, 3)
     use_bn = bn is not None
     if not use_bn:
@@ -519,7 +603,8 @@ def megakernel_trace(tables: PacketTables, mat_rows, light_rows, sun_vec,
         _mega_kernel, tlas_internal=tlas_internal, n_materials=n_materials,
         n_lights=n_lights, segments=segments, max_steps=max_steps,
         use_proctex=use_proctex, use_bn=use_bn, img_mode=img_mode,
-        debug_steps=debug_steps, interpret=interpret)
+        subtile_rows=subtile_rows, debug_steps=debug_steps,
+        interpret=interpret)
 
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     # big tables: ANY (HBM) inputs, staged into VMEM scratch once at grid
@@ -542,7 +627,11 @@ def megakernel_trace(tables: PacketTables, mat_rows, light_rows, sun_vec,
                         pltpu.VMEM(tables.tris_f32.shape, jnp.float32),
                         pltpu.VMEM(tables.attr_f32.shape, jnp.float32),
                         pltpu.VMEM(tables.attr_i32.shape, jnp.int32),
-                        pltpu.SemaphoreType.DMA((5,))],
+                        pltpu.SemaphoreType.DMA((5,))]
+        + ([pltpu.VMEM((8 * TILE_SHAPE[0], TILE_SHAPE[1]), jnp.float32),
+            pltpu.VMEM((9 * TILE_SHAPE[0], TILE_SHAPE[1]), jnp.float32),
+            pltpu.VMEM((2 * TILE_SHAPE[0], TILE_SHAPE[1]), jnp.int32)]
+           if subtile_rows else []),
         interpret=interpret,
     )(sun_vec, jnp.reshape(frame_idx.astype(jnp.int32), (1,)),
       tables.nodes_f32, tables.nodes_i32, tables.tris_f32,
@@ -668,16 +757,67 @@ def finish_gbuffer(scene, rays, out: MegaOut, prev_basis, aspect,
                    depth=out.depth, motion=mv, mat_id=out.mat_id)
 
 
+def _megakernel_trace_sharded(mesh, tables, mat_rows, light_rows, sun_vec,
+                              frame_idx, rays, pixel_ids, bn, kernel_kwargs):
+    """Row-shard the megakernel launch over a 1-D device mesh.
+
+    The Pallas kernel is a per-device program, so the SPMD frame wraps it
+    in `shard_map`: every ray/pixel image input shards along dim 0 (image
+    rows), the BVH/material/light/sun tables replicate, and each chip
+    traces only its own row block — embarrassingly parallel, zero
+    collectives (the scaling seam is the denoise/post stages downstream,
+    which XLA's partitioner handles via halo exchanges).  Requires the
+    per-shard row count to be a multiple of TILE_SHAPE[0]."""
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    hp = rays.org.shape[0]
+    if rays.org.ndim == 3:  # image mode: per-shard rows must tile exactly
+        assert hp % (n * TILE_SHAPE[0]) == 0, \
+            (f"sharded megakernel needs rows {hp} divisible by "
+             f"{n} shards x {TILE_SHAPE[0]}-row tiles")
+    else:  # flat mode: each shard pads its own ray block internally
+        assert hp % n == 0, (hp, n)
+    use_bn = bn is not None
+    bn_arg = bn if use_bn else jnp.zeros(rays.org.shape[:-1] + (2,),
+                                         jnp.float32)
+
+    def tr(tables, mat_rows, light_rows, sun_vec, fidx, org, dir, cone,
+           pix, bn_):
+        return megakernel_trace(
+            tables, mat_rows, light_rows, sun_vec, fidx, org, dir, cone,
+            pix, bn=bn_ if use_bn else None, **kernel_kwargs)
+
+    rep, row = P(), P(axis)
+    out = shard_map(
+        tr, mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rep, row, row, row, row, row),
+        out_specs=row, check_vma=False)(
+            tables, mat_rows, light_rows, sun_vec,
+            jnp.asarray(frame_idx), rays.org, rays.dir, rays.cone_width,
+            pixel_ids, bn_arg)
+    return out
+
+
 def path_trace_mega(scene, rays, pixel_ids, frame_idx, prev_basis, aspect,
                     max_steps: int = PACKET_MAX_STEPS, use_proctex: bool = True,
-                    bn=None, interpret: bool = False, env_fn=None,
-                    debug_steps: bool = False):
+                    bn=None, subtile_rows: int = 0, interpret: bool = False,
+                    env_fn=None, debug_steps: bool = False, mesh=None):
     """Drop-in replacement for integrator.path_trace using the megakernel.
 
-    debug_steps=True returns the per-pixel TOTAL traversal step count
-    (uniform within each ray tile; all 5 segments summed) instead of a
-    G-buffer — the step-union telemetry behind
-    `tools/profile_frame.py --trace-steps`."""
+    debug_steps=True returns a (SEGMENTS+1, ...) per-pixel traversal
+    step-count stack — [total, seg0, seg1, ...] (uniform within each ray
+    tile) instead of a G-buffer — the step-union telemetry behind
+    `tools/profile_frame.py --trace-steps`.
+
+    mesh: optional 1-D jax.sharding.Mesh — row-shards the kernel launch
+    via shard_map (the multi-chip product path; see
+    _megakernel_trace_sharded)."""
     from ..bvh.packet import pack_for_packets
     from .kshade import pack_materials_rows
 
@@ -686,13 +826,24 @@ def path_trace_mega(scene, rays, pixel_ids, frame_idx, prev_basis, aspect,
     light_rows = pack_light_rows(scene.lights)
     sun_vec = pack_sun_params(scene.sky)
     n_lights = 0 if scene.lights is None else scene.lights.center.shape[0]
-    out = megakernel_trace(
-        tables, mat_rows, light_rows, sun_vec, jnp.asarray(frame_idx),
-        rays.org, rays.dir, rays.cone_width, pixel_ids,
-        tlas_internal=scene.bvh.tlas_internal,
-        n_materials=mat_rows.shape[0], n_lights=n_lights,
-        max_steps=max_steps, use_proctex=use_proctex, bn=bn,
-        interpret=interpret, debug_steps=debug_steps)
+    kw = dict(tlas_internal=scene.bvh.tlas_internal,
+              n_materials=mat_rows.shape[0], n_lights=n_lights,
+              max_steps=max_steps, use_proctex=use_proctex,
+              subtile_rows=subtile_rows, interpret=interpret,
+              debug_steps=debug_steps)
+    if mesh is not None:
+        out = _megakernel_trace_sharded(mesh, tables, mat_rows, light_rows,
+                                        sun_vec, frame_idx, rays, pixel_ids,
+                                        bn, kw)
+    else:
+        out = megakernel_trace(
+            tables, mat_rows, light_rows, sun_vec, jnp.asarray(frame_idx),
+            rays.org, rays.dir, rays.cone_width, pixel_ids, bn=bn, **kw)
     if debug_steps:
-        return out.esc_pdf  # steps plane (kernel overwrites esc_pdf)
+        # kernel overwrites esc_pdf with the total and the esc_dir/esc_beta
+        # planes with per-segment counts (first SEGMENTS of them)
+        per_seg = [out.esc_dir[..., 0], out.esc_dir[..., 1],
+                   out.esc_dir[..., 2], out.esc_beta[..., 0],
+                   out.esc_beta[..., 1], out.esc_beta[..., 2]][:SEGMENTS]
+        return jnp.stack([out.esc_pdf] + per_seg)
     return finish_gbuffer(scene, rays, out, prev_basis, aspect, env_fn=env_fn)

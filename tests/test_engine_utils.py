@@ -480,3 +480,13 @@ def test_nan_guards_live_in_frame(capfd):
     from rtrt_tpu.engine import frame
     src = inspect.getsource(frame.render_frame)
     assert 'nan_guard' in src and 'trace.radiance' in src
+
+
+def test_packet_tables_fit_gate():
+    """Huge scenes (reference envelope: 1M tris, src/kernel.cuh:54-55) must
+    fall back to the wavefront traverser — the packet kernel stages all
+    tables into VMEM, which caps the scene size it can serve."""
+    from rtrt_tpu.engine.engine import packet_tables_fit
+    assert packet_tables_fit(36)        # terrain (36.8k tris): ~5 MB
+    assert packet_tables_fit(226)       # terrain_big (231k tris): ~46 MB
+    assert not packet_tables_fit(1024)  # 1M-tri envelope: ~218 MB

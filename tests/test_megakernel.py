@@ -131,13 +131,29 @@ def test_pallas_tpu_matches_simulator(setup):
 
 
 def test_debug_steps_telemetry(setup):
-    """debug_steps returns a per-pixel total-step plane, uniform within
-    each ray tile and positive (profile_frame.py --trace-steps)."""
+    """debug_steps returns a (SEGMENTS+1,)-stacked per-pixel step plane
+    [total, seg0, ...], uniform within each ray tile, with the segment
+    planes summing to the total (profile_frame.py --trace-steps)."""
     scene, rays, pixel_ids, frame, basis = setup
     steps = jax.jit(lambda: path_trace_mega(
         scene, rays, pixel_ids, frame, basis, W / H, max_steps=512,
         interpret=True, debug_steps=True))()
-    s = np.asarray(steps).reshape(-1)
-    assert s.size == H * W  # flat-ray mode here (img mode gives (H, W))
-    assert (s > 0).all() and (s == s[0]).all()  # one tile here
-    assert s[0] < 5 * 512  # within the per-segment cap
+    s = np.asarray(steps)
+    assert s.shape == (6, H * W)  # flat-ray mode (img mode gives (6, H, W))
+    total, segs = s[0], s[1:]
+    assert (total > 0).all() and (total == total[0]).all()  # one tile here
+    assert total[0] < 5 * 512  # within the per-segment cap
+    np.testing.assert_array_equal(segs.sum(axis=0), total)
+    assert segs[0].max() > 0  # primary segment always traverses
+
+
+def test_subtile_bounce_matches_full_tile(setup):
+    """subtile_rows (strip-wise bounce traversal) must be a pure perf
+    transform: the interpret-mode megakernel output matches the whole-tile
+    kernel lane for lane (pruning is exact; only visit order differs)."""
+    scene, rays, pixel_ids, frame, basis = setup
+    ref = path_trace_mega(scene, rays, pixel_ids, frame, basis, W / H,
+                          interpret=True)
+    got = path_trace_mega(scene, rays, pixel_ids, frame, basis, W / H,
+                          interpret=True, subtile_rows=8)
+    _gbuffers_close(ref, got, frac=0.995)

@@ -62,16 +62,20 @@ def main():
         assert static.use_megakernel, "--trace-steps needs the megakernel"
         fn = make_frame_fn(static._replace(stop_after="steps"))
         (steps,), _ = fn(*frame_args)
-        s = np.asarray(steps)
+        s = np.asarray(steps)  # (SEGMENTS+1, h, w): [total, seg0, seg1, ...]
         th, tw = TILE_SHAPE
-        tiles = s[::th, ::tw]  # uniform within each tile
-        flat = np.sort(tiles.reshape(-1))
         print(f"\nscene={args.scene} tris={eng.scene.num_tris} "
-              f"{args.width}x{args.height}  tiles={flat.size} "
-              f"({th}x{tw} px, all segments summed)")
-        print(f"steps/tile: total={flat.sum():.0f} mean={flat.mean():.0f} "
-              f"p50={flat[flat.size // 2]:.0f} "
-              f"p90={flat[int(flat.size * 0.9)]:.0f} max={flat[-1]:.0f}")
+              f"{args.width}x{args.height}  ({th}x{tw}-px tiles"
+              + (f", bounce subtile={static.bounce_subtile} rows"
+                 if static.bounce_subtile else "") + ")")
+        names = ["TOTAL"] + [f"seg{k}" for k in range(s.shape[0] - 1)]
+        for name, plane in zip(names, s):
+            tiles = plane[::th, ::tw]  # uniform within each tile
+            flat = np.sort(tiles.reshape(-1))
+            print(f"{name:<6} steps/tile: total={flat.sum():>9.0f} "
+                  f"mean={flat.mean():>6.0f} p50={flat[flat.size // 2]:>6.0f} "
+                  f"p90={flat[int(flat.size * 0.9)]:>6.0f} "
+                  f"max={flat[-1]:>6.0f}")
         return
 
     stages = [s.strip() for s in args.stages.split(",")]
