@@ -64,12 +64,17 @@ def main():
     ms = (time.perf_counter() - t0) / FRAMES * 1e3
 
     target_ms = 33.333  # 30 FPS north star @1080p (BASELINE.json)
+    # BASELINE.md metric row: ms/frame AND Mrays/s.  The frame runs 5 scene
+    # intersects per pixel (primary + shadow/bounce segments, matching the
+    # reference's ~5/pixel bounce program, src/pathtrace.cuh:53-105)
+    mrays = eng.render_w * eng.render_h * 5 / (ms / 1e3) / 1e6
     print(json.dumps({
         "metric": (f"ms_per_frame_{eng.render_w}x{eng.render_h}_1spp_"
                    f"denoised_{SCENE}_{eng.scene.num_tris}tris"),
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(target_ms / ms, 4),
+        "mrays_per_s": round(mrays, 1),
     }))
 
 

@@ -58,11 +58,14 @@ def lbvh_topology(codes):
     log2n = max(1, (n - 1).bit_length())
     i = jnp.arange(n - 1, dtype=jnp.int32)
 
+    ca = codes[:n - 1]  # delta's first arg is always i = arange(n-1):
+    #                     a static slice, not a gather (per-lane gathers
+    #                     run near-serial on TPU — ROADMAP fact #1)
+
     def delta(a, b):
-        """LCP length between leaf a and leaf b; -1 when b out of range."""
+        """LCP length between leaf a(=i) and leaf b; -1 when out of range."""
         valid = (b >= 0) & (b < n)
         bc = jnp.clip(b, 0, n - 1)
-        ca = codes[a]
         cb = codes[bc]
         x = (ca ^ cb).astype(jnp.int32)
         d = jnp.where(x != 0, _clz32(x), 32 + _clz32((a ^ bc) | 1))

@@ -24,9 +24,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 try:
-    from jax import shard_map  # jax >= 0.8
+    from jax import shard_map  # jax >= 0.8 renamed check_rep -> check_vma
+    SM_NOCHECK = {"check_vma": False}
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
+    SM_NOCHECK = {"check_rep": False}
 
 from ..core.camera import Camera, camera_basis
 from ..core.vecmath import normalize
@@ -164,7 +166,7 @@ def make_tile_frame(mesh: Mesh, scene_data_builder, width: int, height: int,
         shard_body, mesh=mesh,
         in_specs=(rep, rep, rep, shd, rep),
         out_specs=(shd, shd),
-        check_rep=False)
+        **SM_NOCHECK)
 
     def frame(vertices, camera, prev_camera, hist_color, frame_idx):
         scene = scene_data_builder(vertices)

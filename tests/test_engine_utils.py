@@ -239,7 +239,7 @@ def test_tile_parallel_dryrun(cpu_mesh_devices):
     import numpy as np
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
     from rtrt_tpu.parallel.tile import AXIS, _global_histogram, _halo_exchange
-    from jax.experimental.shard_map import shard_map
+    from rtrt_tpu.parallel.tile import SM_NOCHECK, shard_map
 
     mesh = Mesh(np.array(cpu[:4]), (AXIS,))
     img = jnp.arange(4 * 8 * 2 * 3, dtype=jnp.float32).reshape(32, 2, 3)
@@ -248,7 +248,7 @@ def test_tile_parallel_dryrun(cpu_mesh_devices):
         return _halo_exchange(x, 2, AXIS)
 
     out = shard_map(body, mesh=mesh, in_specs=P(AXIS), out_specs=P(AXIS),
-                    check_rep=False)(img)
+                    **SM_NOCHECK)(img)
     out = np.asarray(out)
     assert out.shape == (4 * (8 + 4), 2, 3)
     # middle shard's upper halo equals the previous shard's bottom rows
@@ -262,7 +262,7 @@ def test_tile_parallel_dryrun(cpu_mesh_devices):
 
     lum = jnp.abs(img[..., 0])
     h = shard_map(hist_body, mesh=mesh, in_specs=P(AXIS),
-                  out_specs=P(), check_rep=False)(lum)
+                  out_specs=P(), **SM_NOCHECK)(lum)
     assert float(jnp.sum(h)) == lum.size
 
 
