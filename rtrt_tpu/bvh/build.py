@@ -169,11 +169,21 @@ def build_scene_bvh(v0, v1, v2, valid) -> SceneBvh:
     # --- per-batch sort (reorder = sorted slot -> original in-batch index) --
     sorted_codes, reorder = sort_key_index(codes)
 
-    def permute(x):
-        return jnp.take_along_axis(x, reorder[..., None], axis=1)
-
-    s_lo, s_hi = permute(lo), permute(hi)
-    s_v0, s_v1, s_v2 = permute(v0), permute(v1), permute(v2)
+    # apply the permutation to all vertex columns with ONE one-hot MXU
+    # matmul — take_along_axis gathers run near-serial on TPU (~5 ms here
+    # at terrain scale; ROADMAP fact #1), the einsum is ~0.1 ms and exact.
+    # Only FINITE columns may ride the matmul (0 * inf = NaN), so the
+    # sorted leaf AABBs (whose padding slots are ±inf empty boxes) are
+    # recomputed from the sorted vertices + permuted valid mask instead.
+    from ..ops.gather import onehot_permute
+    s = onehot_permute(
+        jnp.concatenate([v0, v1, v2, valid[..., None].astype(jnp.float32)],
+                        axis=-1), reorder)
+    s_v0, s_v1, s_v2 = s[..., 0:3], s[..., 3:6], s[..., 6:9]
+    s_valid = s[..., 9] > 0.5
+    s_lo, s_hi = triangle_aabb(s_v0, s_v1, s_v2)
+    s_lo = jnp.where(s_valid[..., None], s_lo, jnp.inf)
+    s_hi = jnp.where(s_valid[..., None], s_hi, -jnp.inf)
 
     # --- BLAS topology + AABB fit (vmapped over batches) --------------------
     left, right, first, last = jax.vmap(lbvh_topology)(sorted_codes)

@@ -135,9 +135,20 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
     tv2 = verts[indices[:, 2]].reshape(b, BATCH_SIZE, 3)
     bvh = build_scene_bvh(tv0, tv1, tv2, valid)
 
-    # per-triangle attributes in sorted leaf order, packed wide
+    # per-triangle attributes in sorted leaf order, packed wide.  The
+    # batch-local permutation (indices + material id) goes through the
+    # one-hot MXU gather; the global vertex-normal fetch stays an XLA
+    # gather (vertex index space is too wide to one-hot).
+    from ..ops.gather import onehot_permute
     sort_idx = bvh.sorted_tri_index
-    flat_idx = indices[sort_idx]
+    reorder = (sort_idx.reshape(b, BATCH_SIZE)
+               - (jnp.arange(b, dtype=jnp.int32) * BATCH_SIZE)[:, None])
+    perm = onehot_permute(
+        jnp.concatenate([indices.reshape(b, BATCH_SIZE, 3),
+                         tri_mat.reshape(b, BATCH_SIZE, 1)], axis=-1),
+        reorder)
+    flat_idx = perm[..., 0:3].reshape(-1, 3)
+    sorted_mat = perm[..., 3].reshape(-1)
     tri_nrm_t = jnp.concatenate(
         [nrm[flat_idx[:, 0]].T, nrm[flat_idx[:, 1]].T,
          nrm[flat_idx[:, 2]].T], axis=0)  # (9, T) column-major
@@ -146,7 +157,7 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
     scene = SceneData(
         bvh=bvh,
         tri_nrm_t=tri_nrm_t,
-        tri_mat=tri_mat[sort_idx],
+        tri_mat=sorted_mat,
         materials=materials,
         sky=sky,
         textures=textures,

@@ -92,3 +92,20 @@ def test_segment_sum():
     ids = jnp.array([0, 0, 1, 2, 2, 2])
     out = np.asarray(red.segment_sum(data, ids, 4))
     np.testing.assert_allclose(out[:, 0], [2, 1, 3, 0])
+
+
+def test_onehot_permute_exact(rng):
+    """MXU one-hot gather == take_along_axis bit-exactly (f32 and i32)."""
+    from rtrt_tpu.ops.gather import onehot_permute
+    b, n, c = 3, 256, 5
+    vals = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32) * 1e3)
+    idx = jnp.asarray(
+        np.stack([rng.permutation(n) for _ in range(b)]).astype(np.int32))
+    ref = jnp.take_along_axis(vals, idx[..., None], axis=1)
+    got = onehot_permute(vals, idx)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    ints = jnp.asarray(rng.integers(-2**23, 2**23, (b, n, 2)).astype(np.int32))
+    ref_i = jnp.take_along_axis(ints, idx[..., None], axis=1)
+    got_i = onehot_permute(ints, idx)
+    assert got_i.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
