@@ -58,55 +58,66 @@ def lbvh_topology(codes):
     log2n = max(1, (n - 1).bit_length())
     i = jnp.arange(n - 1, dtype=jnp.int32)
 
-    ca = codes[:n - 1]  # delta's first arg is always i = arange(n-1):
-    #                     a static slice, not a gather (per-lane gathers
-    #                     run near-serial on TPU — ROADMAP fact #1)
+    # Gathers run near-serial on TPU (ROADMAP fact #1), so the Karras
+    # searches are reformulated around the sorted-code LCP identity
+    #     delta(i, j) = min(adj[min(i,j) .. max(i,j)-1]),
+    # where adj[k] = delta(k, k+1) is computed once by a SHIFT.  A
+    # doubling min-table over adj (built by shifts) turns the whole
+    # exponential phase into aligned table reads — zero gathers — and the
+    # two binary descents into ONE gather per level instead of a
+    # two-sided code fetch + xor/clz per probe.  Out-of-range propagates
+    # exactly: adj pads with -1 and min(-1, x) = -1 = delta's own
+    # out-of-range sentinel.
+    ca = codes[:n - 1]
+    cb1 = codes[1:]
+    x = (ca ^ cb1).astype(jnp.int32)
+    adj = jnp.where(x != 0, _clz32(x),
+                    32 + _clz32((i ^ (i + 1)) | 1))  # (n-1,) LCP(k, k+1)
 
-    def delta(a, b):
-        """LCP length between leaf a(=i) and leaf b; -1 when out of range."""
-        valid = (b >= 0) & (b < n)
-        bc = jnp.clip(b, 0, n - 1)
-        cb = codes[bc]
-        x = (ca ^ cb).astype(jnp.int32)
-        d = jnp.where(x != 0, _clz32(x), 32 + _clz32((a ^ bc) | 1))
-        return jnp.where(valid, d, -1)
+    # tab[k][p] = min(adj[p .. p+2^k-1]), -1 past the end
+    tab = [adj]
+    for k in range(log2n):
+        prev = tab[-1]
+        sh = jnp.concatenate(
+            [prev[1 << k:], jnp.full((min(1 << k, n - 1),), -1, jnp.int32)])
+        tab.append(jnp.minimum(prev, sh))
+
+    def rmin(tk, pos):
+        """tk[pos] with out-of-range -> -1 (pos may be any int array)."""
+        ok = (pos >= 0) & (pos < n - 1)
+        return jnp.where(ok, tk[jnp.clip(pos, 0, n - 2)], -1)
+
+    def delta_at(lvl, start):
+        """delta over a 2^lvl-long adjacent range starting at `start`."""
+        return rmin(tab[lvl], start)
+
+    adj_left = jnp.concatenate([jnp.full((1,), -1, jnp.int32), adj[:-1]])
 
     # direction: toward the longer common prefix
-    d = jnp.where(delta(i, i + 1) >= delta(i, i - 1), 1, -1).astype(jnp.int32)
-    delta_min = delta(i, i - d)
+    d = jnp.where(adj >= adj_left, 1, -1).astype(jnp.int32)
+    delta_min = jnp.where(d > 0, adj_left, adj)
 
-    # exponential search for an upper bound on the range length
-    # (fori_loop keeps the traced graph small — compile-time matters here)
-    def grow_body(_, lmax):
-        grow = delta(i, i + lmax * d) > delta_min
-        return jnp.where(grow, lmax * 2, lmax)
-
-    lmax = jax.lax.fori_loop(0, log2n + 2, grow_body, jnp.full_like(i, 2))
-
-    # binary search the exact length l
-    def len_body(k, l):
-        t = lmax >> k
-        cond = (t >= 1) & (delta(i, i + (l + t) * d) > delta_min)
-        return jnp.where(cond, l + t, l)
-
-    l = jax.lax.fori_loop(1, log2n + 3, len_body, jnp.zeros_like(i))
+    # exact range length l by binary descent from the top level: grow l by
+    # 2^k when the NEXT 2^k adjacent deltas (one gather per level) stay
+    # > delta_min.  The running min of committed blocks IS delta(i, j).
+    l = jnp.zeros_like(i)
+    delta_node = jnp.full_like(i, 127)  # min-identity over an empty range
+    for k in range(log2n, -1, -1):
+        nxt = jnp.where(d > 0, i + l, i - l - (1 << k))
+        probe = delta_at(k, nxt)
+        grow = probe > delta_min
+        l = jnp.where(grow, l + (1 << k), l)
+        delta_node = jnp.where(grow, jnp.minimum(delta_node, probe),
+                               delta_node)
     j = i + l * d
 
-    # binary search the split position (do-while t>1 from the paper,
-    # fixed-trip masked form)
-    delta_node = delta(i, j)
-
-    def split_body(_, carry):
-        s, t, done = carry
-        t = (t + 1) >> 1
-        cond = (~done) & (delta(i, i + (s + t) * d) > delta_node)
-        s = jnp.where(cond, s + t, s)
-        done = done | (t <= 1)
-        return s, jnp.maximum(t, 1), done
-
-    s, _, _ = jax.lax.fori_loop(
-        0, log2n + 2, split_body,
-        (jnp.zeros_like(i), l, jnp.zeros_like(i, dtype=bool)))
+    # split position: the longest prefix (from i toward d) whose adjacent
+    # deltas all stay > delta_node — the same monotone-predicate descent
+    s = jnp.zeros_like(i)
+    for k in range(log2n, -1, -1):
+        nxt = jnp.where(d > 0, i + s, i - s - (1 << k))
+        grow = delta_at(k, nxt) > delta_node
+        s = jnp.where(grow, s + (1 << k), s)
 
     gamma = i + s * d + jnp.minimum(d, 0)
     first = jnp.minimum(i, j)

@@ -82,10 +82,15 @@ def _cpu_karras(codes):
     return left, right, first, last
 
 
-@pytest.mark.parametrize("n,seed", [(8, 0), (64, 1), (256, 2)])
-def test_topology_vs_oracle(n, seed):
+@pytest.mark.parametrize("n,seed,dup", [(8, 0, 0), (64, 1, 0), (256, 2, 0),
+                                        (128, 3, 1), (1024, 4, 1)])
+def test_topology_vs_oracle(n, seed, dup):
+    """Element-exact vs the recursive CPU Karras build; dup=1 draws from a
+    tiny code alphabet so long duplicate runs exercise the index-XOR
+    extended-delta path (and n=1024 is the real BLAS batch size)."""
     rng = np.random.default_rng(seed)
-    codes = np.sort(rng.integers(0, 2**30, n, dtype=np.uint32))
+    hi = 17 if dup else 2**30
+    codes = np.sort(rng.integers(0, hi, n, dtype=np.uint32))
     l, r, f, la = (np.asarray(x) for x in topo_jit(jnp.asarray(codes)))
     cl, cr, cf, cla = _cpu_karras(codes)
     assert (l == cl).all()
