@@ -141,6 +141,18 @@ class Engine:
             time=jnp.float32(0.0),
         )
 
+        # ---- static scenes: build the BVH + sorted tri tables ONCE ----
+        # (the per-frame in-jit rebuild stays the path for animated
+        # geometry; the reference rebuilds unconditionally, kernel.cu:328)
+        self.prebuilt = None
+        if self.animation == "none" and \
+                os.environ.get("RTRT_PREBUILD", "1") != "0":
+            from .frame import build_scene_tables
+            build = jax.jit(build_scene_tables, static_argnums=0)
+            self.prebuilt = jax.block_until_ready(build(
+                self.scene.num_batches, self.indices, self.tri_mat,
+                self.valid, self.state.vertices, self.state.normals))
+
         # ---- resolution buckets ----
         self._frame_fns = {}
         self._precompiling = set()
@@ -213,7 +225,7 @@ class Engine:
                 args = (self.indices, self.tri_mat, self.valid,
                         self.materials, self.textures, self.sky, self.lights,
                         state, self.camera, self.camera, self.params,
-                        jnp.float32(1 / 60))
+                        jnp.float32(1 / 60), self.prebuilt)
                 jax.block_until_ready(fn(*args))
                 self._frame_fns[bucket_h] = fn
             except Exception:
@@ -305,7 +317,7 @@ class Engine:
         return (self.indices, self.tri_mat, self.valid, self.materials,
                 self.textures, self.sky, self.lights, self.state,
                 self.camera, self.prev_camera, self.params,
-                jnp.float32(max(dt, 1e-4)))
+                jnp.float32(max(dt, 1e-4)), self.prebuilt)
 
     # ------------------------------------------------------------------
     # input control (reference: src/inputControl.cu:29-113)

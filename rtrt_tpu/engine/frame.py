@@ -97,39 +97,17 @@ def compute_smooth_normals(vertices, indices):
     return acc / jnp.maximum(norm, 1e-12)
 
 
-def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
-                 textures, sky: SkyMaps, lights, state: FrameState,
-                 camera: Camera, prev_camera: Camera, params: RenderParams,
-                 dt, row_sharding=None, trace_mesh=None):
-    """One full frame.  Returns (u8 image (screen_h, screen_w, 3), new state).
+def build_scene_tables(num_batches: int, indices, tri_mat, valid, verts, nrm):
+    """Two-level LBVH rebuild + sorted per-triangle attribute prep
+    (the bvh.cu:7-97 analog).  Returns (bvh, tri_nrm_t, sorted_mat).
 
-    indices/tri_mat/valid: padded static scene arrays (engine/scene.py);
-    materials/textures: static tables; sky: baked maps.
-
-    row_sharding: optional callable applying a row-axis sharding constraint
-    to an (H, W, ...) image array (parallel/frame_spmd.py).  When set, the
-    G-buffer, denoised frame and history are pinned to the mesh's row
-    shards and XLA's SPMD partitioner propagates the sharding through the
-    WHOLE frame program — trace runs shard-local, denoise stencils get
-    automatic halo exchanges, the exposure histogram becomes an
-    all-reduce.  This is the multi-chip path for the real product frame
-    (not a reduced pipeline).
+    Called per frame for animated geometry; for static scenes the Engine
+    runs it ONCE at init and feeds the result into `render_frame` via
+    `prebuilt` — the reference rebuilds unconditionally every frame
+    (src/kernel.cu:328-333) even though its scene is static, which is
+    ~50 ms/frame of pure waste at terrain scale on TPU.
     """
-    w, h = static.render_w, static.render_h
-    sw, sh = static.screen_w, static.screen_h
-    b = static.num_batches
-    frame_idx = state.frame_idx
-
-    # ---- geometry gather + two-level LBVH rebuild (bvh.cu:7-97 analog) ----
-    verts = state.vertices
-    nrm = state.normals
-    if static.animation == "wave":
-        t_now = (state.time if state.time is not None
-                 else state.frame_idx.astype(jnp.float32) * dt)
-        verts = displace_wave(verts, t_now)
-        # re-derive smooth normals for the displaced surface
-        # (reference recomputes after MeshDisplace, kernel.cu:313-327)
-        nrm = compute_smooth_normals(verts, indices)
+    b = num_batches
     tv0 = verts[indices[:, 0]].reshape(b, BATCH_SIZE, 3)
     tv1 = verts[indices[:, 1]].reshape(b, BATCH_SIZE, 3)
     tv2 = verts[indices[:, 2]].reshape(b, BATCH_SIZE, 3)
@@ -152,6 +130,51 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
     tri_nrm_t = jnp.concatenate(
         [nrm[flat_idx[:, 0]].T, nrm[flat_idx[:, 1]].T,
          nrm[flat_idx[:, 2]].T], axis=0)  # (9, T) column-major
+    return bvh, tri_nrm_t, sorted_mat
+
+
+def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
+                 textures, sky: SkyMaps, lights, state: FrameState,
+                 camera: Camera, prev_camera: Camera, params: RenderParams,
+                 dt, prebuilt=None, row_sharding=None, trace_mesh=None):
+    """One full frame.  Returns (u8 image (screen_h, screen_w, 3), new state).
+
+    indices/tri_mat/valid: padded static scene arrays (engine/scene.py);
+    materials/textures: static tables; sky: baked maps.
+
+    prebuilt: optional (bvh, tri_nrm_t, sorted_mat) from
+    `build_scene_tables` — skips the in-frame LBVH rebuild for static
+    scenes (only honored when static.animation == "none").
+
+    row_sharding: optional callable applying a row-axis sharding constraint
+    to an (H, W, ...) image array (parallel/frame_spmd.py).  When set, the
+    G-buffer, denoised frame and history are pinned to the mesh's row
+    shards and XLA's SPMD partitioner propagates the sharding through the
+    WHOLE frame program — trace runs shard-local, denoise stencils get
+    automatic halo exchanges, the exposure histogram becomes an
+    all-reduce.  This is the multi-chip path for the real product frame
+    (not a reduced pipeline).
+    """
+    w, h = static.render_w, static.render_h
+    sw, sh = static.screen_w, static.screen_h
+    b = static.num_batches
+    frame_idx = state.frame_idx
+
+    # ---- geometry gather + two-level LBVH rebuild (bvh.cu:7-97 analog) ----
+    if prebuilt is not None and static.animation == "none":
+        bvh, tri_nrm_t, sorted_mat = prebuilt
+    else:
+        verts = state.vertices
+        nrm = state.normals
+        if static.animation == "wave":
+            t_now = (state.time if state.time is not None
+                     else state.frame_idx.astype(jnp.float32) * dt)
+            verts = displace_wave(verts, t_now)
+            # re-derive smooth normals for the displaced surface
+            # (reference recomputes after MeshDisplace, kernel.cu:313-327)
+            nrm = compute_smooth_normals(verts, indices)
+        bvh, tri_nrm_t, sorted_mat = build_scene_tables(
+            b, indices, tri_mat, valid, verts, nrm)
     if static.stop_after == "bvh":
         return (bvh.boxes_t, bvh.children_t, bvh.tris_t, tri_nrm_t), state
     scene = SceneData(

@@ -120,3 +120,18 @@ def test_golden_image(frame_setup):
     s = ssim(np.asarray(img).astype(np.float64),
              golden.astype(np.float64))
     assert s >= 0.98, f"SSIM vs golden = {s:.4f}"
+
+
+def test_prebuilt_tables_match_rebuild(frame_setup):
+    """The Engine's static-scene prebuilt BVH/attribute tables must render
+    bit-identically to the in-frame rebuild (engine/frame.py:prebuilt)."""
+    from rtrt_tpu.engine.frame import build_scene_tables
+    fn, args, _ = frame_setup
+    img_rebuild, _ = fn(*args)
+    scene = build_demo_scene()
+    prebuilt = build_scene_tables(scene.num_batches, args[0], args[1],
+                                  args[2], args[7].vertices,
+                                  args[7].normals)
+    img_pre, _ = fn(*args, prebuilt)
+    np.testing.assert_array_equal(np.asarray(img_rebuild),
+                                  np.asarray(img_pre))

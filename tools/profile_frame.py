@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--frames", type=int, default=5)
     ap.add_argument("--stages", default=",".join(STAGES),
                     help="comma list of cut points to time")
+    ap.add_argument("--rebuild", action="store_true",
+                    help="force the in-frame LBVH rebuild (drop the engine's "
+                         "static-scene prebuilt tables) so the bvh stage cut "
+                         "measures build cost")
     ap.add_argument("--trace-steps", action="store_true",
                     help="dump per-tile traversal step-count stats instead "
                          "of stage timings (megakernel debug_steps plane)")
@@ -54,6 +58,8 @@ def main():
     eng = Engine(settings)
     static = eng._static                      # the live bucket's config
     frame_args = eng._frame_args(dt=1 / 60)   # same inputs the engine uses
+    if args.rebuild:
+        frame_args = frame_args[:-1] + (None,)  # null the prebuilt slot
 
     if args.trace_steps:
         import numpy as np
