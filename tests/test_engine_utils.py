@@ -399,6 +399,7 @@ def test_precompile_bucket_async_runs(monkeypatch):
             self.indices = self.tri_mat = self.valid = None
             self.materials = self.textures = self.sky = self.lights = None
             self.camera = self.params = None
+            self.prebuilt = None
             self.state = E.FrameState(
                 vertices=None, normals=None, history=None, exposure=None,
                 frame_idx=None, time=None)
