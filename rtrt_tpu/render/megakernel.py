@@ -370,13 +370,43 @@ def _mega_kernel(sun_ref, frame_ref,
     st = init_state(V3(rd(ox_ref), rd(oy_ref), rd(oz_ref)),
                     V3(rd(dx_ref), rd(dy_ref), rd(dz_ref)), rd(cone_ref))
 
+    import os as _os
+    _lean = _os.environ.get("RTRT_LEAN_ATTRS") == "1"  # timing experiment
+    _split = _os.environ.get("RTRT_SPLIT_SHADOW") == "1"  # timing experiment
+
     def traverse_full(org, dir, t_cap, fh):
         return traverse_tile(
             nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
             stack_ref, tstack_ref, org.x, org.y, org.z,
             dir.x, dir.y, dir.z, t_cap,
             tlas_internal=tlas_internal, any_hit=False, max_steps=max_steps,
-            first_hit=fh, interpret=interpret)
+            first_hit=fh, lean=_lean, interpret=interpret)
+
+    def traverse_split(org, dir, t_cap, fh):
+        """Two class-separated traversals per bounce segment: shadow lanes
+        (coherent sun/light directions) and scatter lanes (hemisphere
+        spread) — the MIXED tile union covers both classes' node sets,
+        so splitting can shrink union steps at the cost of a second loop."""
+        cap_sh = jnp.where(fh, t_cap, 0.0)
+        cap_sc = jnp.where(fh, 0.0, t_cap)
+        h_sh = traverse_tile(
+            nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
+            stack_ref, tstack_ref, org.x, org.y, org.z,
+            dir.x, dir.y, dir.z, cap_sh,
+            tlas_internal=tlas_internal, any_hit=True, max_steps=max_steps,
+            first_hit=fh, lean=True, interpret=interpret)
+        h_sc = traverse_tile(
+            nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
+            stack_ref, tstack_ref, org.x, org.y, org.z,
+            dir.x, dir.y, dir.z, cap_sc,
+            tlas_internal=tlas_internal, any_hit=False, max_steps=max_steps,
+            first_hit=None, lean=_lean, interpret=interpret)
+        # merge: shadow lanes only consume (t, tri) — occlusion flag
+        merged = [jnp.where(fh, h_sh[0], h_sc[0]),
+                  jnp.where(fh, h_sh[1], h_sc[1])]
+        merged += list(h_sc[2:11])
+        merged.append(h_sh[11] + h_sc[11])  # steps
+        return tuple(merged)
 
     def traverse_subtiled(org, dir, t_cap, fh):
         """Bounce-segment traversal in SUBTILE_ROWS-high strips.
@@ -471,6 +501,8 @@ def _mega_kernel(sun_ref, frame_ref,
         fh = st.is_shadow & ~st.done
         if subtile_rows and seg >= 1:
             hit = traverse_subtiled(st.org, st.dir, t_cap, fh)
+        elif _split and seg >= 1:
+            hit = traverse_split(st.org, st.dir, t_cap, fh)
         else:
             hit = traverse_full(st.org, st.dir, t_cap, fh)
         total_steps = total_steps + hit[-1]
