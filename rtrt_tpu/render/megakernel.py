@@ -371,7 +371,13 @@ def _mega_kernel(sun_ref, frame_ref,
                     V3(rd(dx_ref), rd(dy_ref), rd(dz_ref)), rd(cone_ref))
 
     import os as _os
-    _lean = _os.environ.get("RTRT_LEAN_ATTRS") == "1"  # timing experiment
+    # Attribute-free find loop + post-loop distinct-winner resolve
+    # (bvh/packet.py traverse_tile lean path).  Default ON: measured
+    # 372.7 -> 345.7 ms/frame on terrain 1080p (the find loop alone is
+    # ~40% cheaper per step; the resolve loop gives most of that back on
+    # high-distinct-winner primary tiles — see ROADMAP).  RTRT_LEAN_ATTRS=0
+    # restores accept-time attribute computation for A/B timing.
+    _lean = _os.environ.get("RTRT_LEAN_ATTRS", "1") != "0"
     _split = _os.environ.get("RTRT_SPLIT_SHADOW") == "1"  # timing experiment
 
     def traverse_full(org, dir, t_cap, fh):
