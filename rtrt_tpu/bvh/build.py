@@ -30,7 +30,8 @@ from ..core.geometry import triangle_aabb
 from ..ops.morton import morton3d_30, normalize_to_aabb
 from ..ops.reduce import build_minmax_table, range_minmax
 from ..ops.sort import sort_key_index
-from .types import (BATCH_SIZE, BLAS_NODES, SceneBvh, pack_entry)
+from .types import (BATCH_SIZE, BLAS_NODES, GROUP, GROUPS_PER_BATCH,
+                    SceneBvh, pack_entry)
 
 UINT_MAX = jnp.uint32(0xFFFFFFFF)
 
@@ -192,15 +193,29 @@ def build_scene_bvh(v0, v1, v2, valid) -> SceneBvh:
                         axis=-1), reorder)
     s_v0, s_v1, s_v2 = s[..., 0:3], s[..., 3:6], s[..., 6:9]
     s_valid = s[..., 9] > 0.5
+    # padding triangles collapse to a degenerate point at the origin: a
+    # GROUP leaf tests all its GROUP slots unconditionally, and a
+    # degenerate triangle (det == 0) can never pass the watertight test
+    s_v0 = jnp.where(s_valid[..., None], s_v0, 0.0)
+    s_v1 = jnp.where(s_valid[..., None], s_v1, 0.0)
+    s_v2 = jnp.where(s_valid[..., None], s_v2, 0.0)
     s_lo, s_hi = triangle_aabb(s_v0, s_v1, s_v2)
     s_lo = jnp.where(s_valid[..., None], s_lo, jnp.inf)
     s_hi = jnp.where(s_valid[..., None], s_hi, -jnp.inf)
 
+    # --- GROUP morton-adjacent triangles per leaf ----------------------------
+    # Leaf AABB = union over the group's valid slots (all-padding groups
+    # stay empty and are never visited); the group key is its first
+    # (smallest) member code, which preserves sortedness.  See types.GROUP.
+    g_lo = s_lo.reshape(b, GROUPS_PER_BATCH, GROUP, 3).min(axis=2)
+    g_hi = s_hi.reshape(b, GROUPS_PER_BATCH, GROUP, 3).max(axis=2)
+    g_codes = sorted_codes[:, ::GROUP]
+
     # --- BLAS topology + AABB fit (vmapped over batches) --------------------
-    left, right, first, last = jax.vmap(lbvh_topology)(sorted_codes)
+    left, right, first, last = jax.vmap(lbvh_topology)(g_codes)
     gamma = _gamma_from_children(left, right)
     blas_boxes = jax.vmap(fit_node_boxes)(left, right, first, last, gamma,
-                                          s_lo, s_hi)  # (B, 1023, 12)
+                                          g_lo, g_hi)  # (B, GROUPS-1, 12)
 
     # --- pack BLAS children as stack entries --------------------------------
     batch_ids = jnp.arange(b, dtype=jnp.int32)[:, None]

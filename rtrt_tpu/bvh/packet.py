@@ -24,9 +24,11 @@ image locality; bounce rays inherit pixel-tile locality.
 
 The kernel consumes the same flattened two-level node/triangle tables as
 bvh/traverse.py, pre-swizzled by `pack_for_packets` into row layout:
-  nodes_f32: (Mn, 16) [12 box floats | pad]
-  nodes_i32: (Mn, 2)  packed child entries (see bvh/types.py)
-  tris_f32:  (T, 12)  [v0|v1|v2|pad]
+  nodes_f32: (Mn, 16) [12 box floats | child entry bits x2 | pad]
+  tris_f32:  (T, 16)  [v0|v1|v2|pad]
+  attr_f32:  (T, 16)  [9 shading-normal floats | geometric normal |
+                       material bits | pad]
+(integer fields ride as exact-f32 lanes — one record fetch per event).
 """
 
 from __future__ import annotations
@@ -39,8 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .types import (BATCH_SIZE, BLAS_NODES, SceneBvh, entry_batch, entry_idx,
-                    entry_is_blas, entry_is_leaf)
+from .types import (BATCH_SIZE, BLAS_NODES, GROUP, SceneBvh, entry_batch,
+                    entry_idx, entry_is_blas, entry_is_leaf)
 
 # Rays per packet and the pixel-block shape a packet covers (frame.py
 # order).  8192 as (64,128) measured best of 1k/2k/4k/8k/16k at 1080p
@@ -73,18 +75,25 @@ _LEAF_BIT = 1 << 23
 class PacketTables(NamedTuple):
     """128-lane packed record tables consumed by the packet kernel.
 
-    Each table row holds 128/stride records side by side (stride 16 for
-    float rows, 2 for int pairs); a record is fetched with one dynamic
-    sublane read + one lane rotate (pltpu.roll).  Dense packing keeps the
-    whole table set VMEM-resident at ~64 B/triangle (a 16-wide row layout
-    pads every row to 128 lanes in VMEM — 8-64x the footprint, which blew
-    the scoped-VMEM budget and capped scene size)."""
+    Each table row holds 8 records of 16 floats side by side; a record is
+    fetched with one dynamic sublane read + one lane rotate (pltpu.roll).
+    Dense packing keeps the whole table set VMEM-resident at ~64 B/record
+    (a 16-wide row layout pads every row to 128 lanes in VMEM — 8-64x the
+    footprint, which blew the scoped-VMEM budget and capped scene size).
 
-    nodes_f32: jnp.ndarray  # (ceil(Mn/8), 128)  8 nodes/row x 16 floats
-    nodes_i32: jnp.ndarray  # (ceil(Mn/64), 128) 64 nodes/row x 2 children
+    Integer fields ride INSIDE the float rows as exact-f32 values (all
+    are < 2^24: packed entries use bits 0..23, material ids are small) so
+    the hot loops issue ONE record fetch per event instead of two/three
+    (the dynamic sublane read + rotate machinery, not the vector math,
+    dominates per-event cost):
+      node record:  [12 child-AABB floats, child_L, child_R, -, -]
+      attr record:  [9 shading-normal floats, 3 geometric-normal floats,
+                     material-id, -, -, -]  (geometric normal is
+                     per-triangle constant — precomputed at pack time)"""
+
+    nodes_f32: jnp.ndarray  # (ceil(Mn/8), 128)  8 nodes/row x 16 lanes
     tris_f32: jnp.ndarray   # (ceil(T/8), 128)   8 tris/row x 16 floats
-    attr_f32: jnp.ndarray   # (ceil(T/8), 128)   8 tris/row x 16 floats
-    attr_i32: jnp.ndarray   # (ceil(T/64), 128)  64 tris/row x 2 ints
+    attr_f32: jnp.ndarray   # (ceil(T/8), 128)   8 tris/row x 16 lanes
 
 
 def _pack_rows(a, stride):
@@ -110,15 +119,30 @@ def pack_for_packets(bvh: SceneBvh, tri_nrm_t=None, tri_mat=None) -> PacketTable
     else:
         attr_f = tri_nrm_t.T
     if tri_mat is None:
-        attr_i = jnp.zeros((t, 1), jnp.int32)
-    else:
-        attr_i = tri_mat[:, None]
+        tri_mat = jnp.zeros((t,), jnp.int32)
+    # per-triangle geometric normal, precomputed so the post-traversal
+    # attribute resolve needs no vertex fetch
+    tt = bvh.tris_t
+    e1 = tt[3:6] - tt[0:3]
+    e2 = tt[6:9] - tt[0:3]
+    gx = e1[1] * e2[2] - e1[2] * e2[1]
+    gy = e1[2] * e2[0] - e1[0] * e2[2]
+    gz = e1[0] * e2[1] - e1[1] * e2[0]
+    gl = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-20))
+    ng = jnp.stack([gx * gl, gy * gl, gz * gl], axis=1)  # (T,3)
+    # packed stack entries use bits 0..23 (< 2^24) and material ids are
+    # small, so both are EXACTLY representable as f32 — they ride the
+    # float rows as plain values and the kernel converts back with a
+    # scalar astype (Mosaic's tpu.bitcast only accepts vectors, and a
+    # whole-row vector bitcast measured a 4x frame regression)
+    mat_bits = tri_mat.astype(jnp.float32)[:, None]
+    child_bits = bvh.children_t.T.astype(jnp.float32)  # (M,2)
     return PacketTables(
-        nodes_f32=_pack_rows(bvh.boxes_t.T, 16),
-        nodes_i32=_pack_rows(bvh.children_t.T, 2),
+        nodes_f32=_pack_rows(
+            jnp.concatenate([bvh.boxes_t.T, child_bits], axis=1), 16),
         tris_f32=_pack_rows(bvh.tris_t.T, 16),
-        attr_f32=_pack_rows(attr_f, 16),
-        attr_i32=_pack_rows(attr_i, 2))
+        attr_f32=_pack_rows(
+            jnp.concatenate([attr_f, ng, mat_bits], axis=1), 16))
 
 
 def _rec_fetch(ref, i, stride, interpret):
@@ -134,7 +158,7 @@ def _rec_fetch(ref, i, stride, interpret):
     return pltpu.roll(row, shift, 1)[0]
 
 
-def traverse_tile(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
+def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
                   stack_ref, tstack_ref, ox, oy, oz, dx, dy, dz, t_cap, *,
                   tlas_internal, any_hit, max_steps, first_hit=None,
                   lean=False, interpret=False):
@@ -325,9 +349,10 @@ def traverse_tile(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
             row = jnp.where(is_blas,
                             tlas_internal + batch * BLAS_NODES + idx, idx)
             nf = _rec_fetch(nodes_f_ref, row, 16, interpret)
-            ni = _rec_fetch(nodes_i_ref, row, 2, interpret)
-            le = ni[0]
-            re = ni[1]
+            # child entries ride lanes 12/13 of the same record as exact
+            # f32 values (< 2^24) — ONE fetch per traversal step
+            le = nf[12].astype(jnp.int32)
+            re = nf[13].astype(jnp.int32)
 
             hl, tl = slab(nf[0], nf[1], nf[2], nf[3], nf[4], nf[5], best_t)
             hr, tr = slab(nf[6], nf[7], nf[8], nf[9], nf[10], nf[11], best_t)
@@ -350,11 +375,32 @@ def traverse_tile(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
                 def yes(args):
                     best_t, tri, uo, vo = args[0:4]
                     leafv, bound = args[-2:]
-                    t_idx = ((e >> _BATCH_SHIFT) & _BATCH_MASK) * BATCH_SIZE \
-                        + (e & _IDX_MASK)
-                    v = _rec_fetch(tris_ref, t_idx, 16, interpret)
-                    ok, tt, tu, tv = tri_hit(v, best_t)
-                    better = ok & (tt < best_t)
+                    base = ((e >> _BATCH_SHIFT) & _BATCH_MASK) * BATCH_SIZE \
+                        + (e & _IDX_MASK) * GROUP
+                    # test the leaf's GROUP morton-adjacent triangles and
+                    # reduce to a per-lane best-of-group FIRST — the carry
+                    # planes and the prune bound are then updated once per
+                    # leaf visit, not once per triangle (tri tests are
+                    # pure vector work; bound updates are scalar syncs)
+                    gt = jnp.full(shape, jnp.inf, jnp.float32)
+                    gtri = jnp.zeros(shape, jnp.int32)
+                    gu = zf()
+                    gv = zf()
+                    vs = []
+                    for k in range(GROUP):
+                        t_idx = base + k
+                        v = _rec_fetch(tris_ref, t_idx, 16, interpret)
+                        vs.append((t_idx, v))
+                        ok, tt, tu, tv = tri_hit(v, best_t)
+                        gb = ok & (tt < gt)
+                        gt = jnp.where(gb, tt, gt)
+                        gtri = jnp.where(gb, t_idx, gtri)
+                        gu = jnp.where(gb, tu, gu)
+                        gv = jnp.where(gb, tv, gv)
+                    # tri_hit already enforces tt < best_t, so any finite
+                    # group-best is an improvement
+                    better = gt < best_t
+                    tt = gt
                     if first_hit is not None:
                         # per-lane any-hit: an occluded shadow lane leaves
                         # the union entirely (-inf best fails every slab
@@ -362,36 +408,32 @@ def traverse_tile(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
                         tt = jnp.where(first_hit & better, -jnp.inf, tt)
                     new_best = jnp.where(better, tt, best_t)
                     out = (new_best,
-                           jnp.where(better, t_idx, tri),
-                           jnp.where(better, tu, uo),
-                           jnp.where(better, tv, vo))
+                           jnp.where(better, gtri, tri),
+                           jnp.where(better, gu, uo),
+                           jnp.where(better, gv, vo))
                     if not lean:
                         mat, nsx, nsy, nsz, ngx, ngy, ngz = args[4:11]
-                        # scalar geometric normal (per-triangle constant)
-                        e1x, e1y, e1z = v[3] - v[0], v[4] - v[1], v[5] - v[2]
-                        e2x, e2y, e2z = v[6] - v[0], v[7] - v[1], v[8] - v[2]
-                        gx = e1y * e2z - e1z * e2y
-                        gy = e1z * e2x - e1x * e2z
-                        gz = e1x * e2y - e1y * e2x
-                        gl = jax.lax.rsqrt(
-                            jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-20))
-                        gx, gy, gz = gx * gl, gy * gl, gz * gl
-                        # interpolated shading normal (scalar rows x bary)
-                        a = _rec_fetch(attr_f_ref, t_idx, 16, interpret)
-                        am = _rec_fetch(attr_i_ref, t_idx, 2, interpret)
-                        tw = 1.0 - tu - tv
-                        inx = tw * a[0] + tu * a[3] + tv * a[6]
-                        iny = tw * a[1] + tu * a[4] + tv * a[7]
-                        inz = tw * a[2] + tu * a[5] + tv * a[8]
-                        out = out + (jnp.where(better, am[0], mat),
-                                     jnp.where(better, inx, nsx),
-                                     jnp.where(better, iny, nsy),
-                                     jnp.where(better, inz, nsz),
-                                     jnp.where(better, gx, ngx),
-                                     jnp.where(better, gy, ngy),
-                                     jnp.where(better, gz, ngz))
+                        for t_idx, v in vs:
+                            m = better & (gtri == t_idx)
+                            # one attr fetch: shading normals, precomputed
+                            # geometric normal, material bits
+                            a = _rec_fetch(attr_f_ref, t_idx, 16, interpret)
+                            am = a[12].astype(jnp.int32)
+                            # interpolated shading normal (rows x bary)
+                            tw = 1.0 - gu - gv
+                            inx = tw * a[0] + gu * a[3] + gv * a[6]
+                            iny = tw * a[1] + gu * a[4] + gv * a[7]
+                            inz = tw * a[2] + gu * a[5] + gv * a[8]
+                            mat = jnp.where(m, am, mat)
+                            nsx = jnp.where(m, inx, nsx)
+                            nsy = jnp.where(m, iny, nsy)
+                            nsz = jnp.where(m, inz, nsz)
+                            ngx = jnp.where(m, a[9], ngx)
+                            ngy = jnp.where(m, a[10], ngy)
+                            ngz = jnp.where(m, a[11], ngz)
+                        out = out + (mat, nsx, nsy, nsz, ngx, ngy, ngz)
                     # prune bound tightens as lanes accept hits
-                    return out + (leafv + 1, jnp.max(new_best))
+                    return out + (leafv + GROUP, jnp.max(new_best))
 
                 # lax.cond keeps the leaf work off the pure-internal steps
                 return jax.lax.cond(do, yes, lambda a: a, carry)
@@ -446,61 +488,58 @@ def traverse_tile(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
     hs = out[1:1 + nh]
     best_t, tri, uo, vo = hs[0:4]
     # telemetry plane: loop steps, or accepted-leaf-visit events under
-    # RTRT_COUNT_LEAF=1 (sizes the replay-log attribute resolve)
+    # RTRT_COUNT_LEAF=1
     steps = out[-4] if _os.environ.get("RTRT_COUNT_LEAF") == "1" \
         else out[-5]
     if lean:
-        # Post-loop attribute resolve over the tile's DISTINCT winning
-        # triangles: each iteration extracts the smallest unresolved
-        # winner index (one cross-lane min), fetches its scalar rows, and
-        # broadcast-selects the attributes into every lane that chose it.
-        # Iteration count = |distinct winners| <= accepted-leaf events —
-        # typically far below the traversal step count, so the total cost
-        # is small next to the ~40% per-step saving of the attribute-free
-        # find loop.  Per-lane any-hit (shadow) lanes are skipped: their
-        # hit only carries an occlusion flag (tri >= 0), never attributes.
+        # Post-loop DISTINCT-WINNER attribute resolve: each iteration
+        # extracts the smallest unresolved winning triangle index with a
+        # cross-lane min (a ~1us vector->scalar sync), fetches its attr
+        # record, and broadcast-selects into the lanes that chose it.
+        # Iterations = |distinct winners| per tile.  (An accepted-leaf
+        # SMEM replay log with sync-free iterations was measured SLOWER —
+        # 369.6 vs 341.5 ms/frame terrain 1080p — because leaf-visit
+        # entries outnumber distinct winners ~3.5x and per-iteration cost
+        # is dominated by the record fetch either way; see ROADMAP.)
+        # Per-lane any-hit (shadow) lanes are excluded: their hit only
+        # carries an occlusion flag (tri >= 0), never attributes.
         imax = jnp.int32(2147483647)
         want = tri >= 0
         if first_hit is not None:
             want = want & ~first_hit
         pend0 = jnp.where(want, tri, imax)
         zi = jnp.zeros(shape, jnp.int32)
-        r0 = (pend0, zi, zf(), zf(), zf(), zf(), zf(), zf(),
-              jnp.min(pend0))
 
-        def rcond(s):
-            return s[-1] != imax
-
-        def rstep(s):
-            pend, mat, nsx, nsy, nsz, ngx, ngy, ngz, cand = s
-            v = _rec_fetch(tris_ref, cand, 16, interpret)
-            # scalar geometric normal (per-triangle constant)
-            e1x, e1y, e1z = v[3] - v[0], v[4] - v[1], v[5] - v[2]
-            e2x, e2y, e2z = v[6] - v[0], v[7] - v[1], v[8] - v[2]
-            gx = e1y * e2z - e1z * e2y
-            gy = e1z * e2x - e1x * e2z
-            gz = e1x * e2y - e1y * e2x
-            gl = jax.lax.rsqrt(
-                jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-20))
-            gx, gy, gz = gx * gl, gy * gl, gz * gl
+        def resolve_one(cand, s):
+            pend, mat, nsx, nsy, nsz, ngx, ngy, ngz = s
+            # ONE record fetch: shading normals (lanes 0-8), precomputed
+            # geometric normal (9-11), material bits (12)
             a = _rec_fetch(attr_f_ref, cand, 16, interpret)
-            am = _rec_fetch(attr_i_ref, cand, 2, interpret)
+            am = a[12].astype(jnp.int32)
             m = pend == cand
             # interpolated shading normal (scalar rows x winning bary)
             tw = 1.0 - uo - vo
             inx = tw * a[0] + uo * a[3] + vo * a[6]
             iny = tw * a[1] + uo * a[4] + vo * a[7]
             inz = tw * a[2] + uo * a[5] + vo * a[8]
-            mat = jnp.where(m, am[0], mat)
-            nsx = jnp.where(m, inx, nsx)
-            nsy = jnp.where(m, iny, nsy)
-            nsz = jnp.where(m, inz, nsz)
-            ngx = jnp.where(m, gx, ngx)
-            ngy = jnp.where(m, gy, ngy)
-            ngz = jnp.where(m, gz, ngz)
-            pend = jnp.where(m, imax, pend)
-            return (pend, mat, nsx, nsy, nsz, ngx, ngy, ngz,
-                    jnp.min(pend))
+            return (jnp.where(m, imax, pend),
+                    jnp.where(m, am, mat),
+                    jnp.where(m, inx, nsx),
+                    jnp.where(m, iny, nsy),
+                    jnp.where(m, inz, nsz),
+                    jnp.where(m, a[9], ngx),
+                    jnp.where(m, a[10], ngy),
+                    jnp.where(m, a[11], ngz))
+
+        st = (pend0, zi, zf(), zf(), zf(), zf(), zf(), zf())
+        r0 = st + (jnp.min(st[0]),)
+
+        def rcond(s):
+            return s[-1] != imax
+
+        def rstep(s):
+            nw = resolve_one(s[-1], s[:-1])
+            return nw + (jnp.min(nw[0]),)
 
         rout = jax.lax.while_loop(rcond, rstep, r0)
         mat, nsx, nsy, nsz, ngx, ngy, ngz = rout[1:8]
@@ -510,7 +549,7 @@ def traverse_tile(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
             nsx, nsy, nsz, ngx, ngy, ngz, steps)
 
 
-def _kernel(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
+def _kernel(nodes_f_ref, tris_ref, attr_f_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
             t_out, tri_out, u_out, v_out, mat_out,
             nsx_out, nsy_out, nsz_out, ngx_out, ngy_out, ngz_out,
@@ -518,23 +557,21 @@ def _kernel(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
     step0 = pl.program_id(0) == 0  # (before run_scoped: interpret mode
     #                                loses the grid context inside it)
 
-    def run(stack_ref, tstack_ref, nodes_f_v, nodes_i_v, tris_v, attr_f_v,
-            attr_i_v, tdma_sem):
+    def run(stack_ref, tstack_ref, nodes_f_v, tris_v, attr_f_v, tdma_sem):
         # stage tables HBM->VMEM once at grid step 0 (Mosaic re-copies
         # pipelined whole-array VMEM inputs on EVERY step; ~2 s/frame at
         # 1080p — same staging as render/megakernel.py)
         @pl.when(step0)
         def _copy_tables():
-            pairs = [(nodes_f_ref, nodes_f_v), (nodes_i_ref, nodes_i_v),
-                     (tris_ref, tris_v), (attr_f_ref, attr_f_v),
-                     (attr_i_ref, attr_i_v)]
+            pairs = [(nodes_f_ref, nodes_f_v),
+                     (tris_ref, tris_v), (attr_f_ref, attr_f_v)]
             for k, (src, dst) in enumerate(pairs):
                 pltpu.make_async_copy(src, dst, tdma_sem.at[k]).start()
             for k, (src, dst) in enumerate(pairs):
                 pltpu.make_async_copy(src, dst, tdma_sem.at[k]).wait()
 
         (t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz, _) = traverse_tile(
-            nodes_f_v, nodes_i_v, tris_v, attr_f_v, attr_i_v,
+            nodes_f_v, tris_v, attr_f_v,
             stack_ref, tstack_ref, ox_ref[0], oy_ref[0], oz_ref[0],
             dx_ref[0], dy_ref[0], dz_ref[0], tmax_ref[0],
             tlas_internal=tlas_internal, any_hit=any_hit,
@@ -554,11 +591,9 @@ def _kernel(nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
     pl.run_scoped(run, pltpu.SMEM((STACK,), jnp.int32),
                   pltpu.SMEM((STACK,), jnp.float32),
                   pltpu.VMEM(nodes_f_ref.shape, jnp.float32),
-                  pltpu.VMEM(nodes_i_ref.shape, jnp.int32),
                   pltpu.VMEM(tris_ref.shape, jnp.float32),
                   pltpu.VMEM(attr_f_ref.shape, jnp.float32),
-                  pltpu.VMEM(attr_i_ref.shape, jnp.int32),
-                  pltpu.SemaphoreType.DMA((5,)))
+                  pltpu.SemaphoreType.DMA((3,)))
 
 
 
@@ -607,7 +642,7 @@ def packet_intersect(tables: PacketTables, org, dir, t_max=None, *,
     # big tables arrive in ANY (HBM) and are staged into VMEM scratch once
     # at grid step 0 inside the kernel (pipelined whole-array VMEM inputs
     # are re-copied from HBM on EVERY grid step — ~2 s/frame at 1080p)
-    table_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 5
+    table_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
 
     f32s = jax.ShapeDtypeStruct((nt,) + TILE_SHAPE, jnp.float32)
     i32s = jax.ShapeDtypeStruct((nt,) + TILE_SHAPE, jnp.int32)
@@ -620,8 +655,7 @@ def packet_intersect(tables: PacketTables, org, dir, t_max=None, *,
         out_specs=[ray_spec] * 11,
         out_shape=out_shapes,
         interpret=interpret,
-    )(tables.nodes_f32, tables.nodes_i32, tables.tris_f32,
-      tables.attr_f32, tables.attr_i32,
+    )(tables.nodes_f32, tables.tris_f32, tables.attr_f32,
       *[c.reshape((nt,) + TILE_SHAPE) for c in comp])
     t, tri, u, v, mat, nsx, nsy, nsz, ngx, ngy, ngz = \
         [o.reshape(n)[:n0] for o in outs]

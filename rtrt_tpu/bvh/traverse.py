@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from ..core.geometry import (RAY_TMIN, make_ray_aux,
                              ray_triangle_watertight)
 from ..core.precision import GAMMA3
-from .types import (BATCH_SIZE, BLAS_NODES, ENTRY_INVALID, STACK_DEPTH,
+from .types import (BATCH_SIZE, BLAS_NODES, ENTRY_INVALID, GROUP, STACK_DEPTH,
                     MAX_TRAVERSAL_STEPS, SceneBvh, entry_batch, entry_idx,
                     entry_is_blas, entry_is_leaf)
 
@@ -215,17 +215,22 @@ def _intersect_chunk(bvh: SceneBvh, org, dir, t_max, any_hit,
         r_leaf = entry_is_leaf(re)
 
         # ---- leaf children: watertight triangle tests inline ----
+        # a leaf covers GROUP morton-adjacent triangles (types.GROUP);
+        # padding slots are degenerate (det == 0) and can never hit
         for child, chit, cleaf in ((le, hl, l_leaf), (re, hr, r_leaf)):
             do = chit & cleaf
-            tri_idx = entry_batch(child) * BATCH_SIZE + entry_idx(child)
-            g = jnp.where(do, tri_idx, 0)
-            tc = [bvh.tris_t[k][g] for k in range(9)]  # component gathers
-            thit, tt, tu, tv = tri_test(tc, best_t)
-            better = do & thit & (tt < best_t)
-            best_t = jnp.where(better, tt, best_t)
-            best_tri = jnp.where(better, tri_idx, best_tri)
-            best_u = jnp.where(better, tu, best_u)
-            best_v = jnp.where(better, tv, best_v)
+            tri_base = entry_batch(child) * BATCH_SIZE \
+                + entry_idx(child) * GROUP
+            for k in range(GROUP):
+                tri_idx = tri_base + k
+                g = jnp.where(do, tri_idx, 0)
+                tc = [bvh.tris_t[c][g] for c in range(9)]  # component gathers
+                thit, tt, tu, tv = tri_test(tc, best_t)
+                better = do & thit & (tt < best_t)
+                best_t = jnp.where(better, tt, best_t)
+                best_tri = jnp.where(better, tri_idx, best_tri)
+                best_u = jnp.where(better, tu, best_u)
+                best_v = jnp.where(better, tv, best_v)
 
         # ---- internal children: near-first descent, far pushed ----
         lh = hl & ~l_leaf

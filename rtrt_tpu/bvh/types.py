@@ -16,10 +16,11 @@ Layout decisions (all static-shape, SoA):
     never branches on "TLAS leaf".
 
 Stack entry packing (int32):
-    bits  0..10  node index within its level (<= 1023) or BLAS leaf index
+    bits  0..10  node index within its level, or BLAS leaf GROUP index
+                 (leaf triangles = batch*BATCH_SIZE + idx*GROUP .. +GROUP-1)
     bits 11..21  batch index (<= 1023)
     bit  22      is_blas
-    bit  23      is_leaf  (BLAS leaf -> triangle test)
+    bit  23      is_leaf  (BLAS leaf -> GROUP triangle tests)
     -1           invalid / empty slot
 """
 
@@ -30,7 +31,16 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 BATCH_SIZE = 1024          # triangles per BLAS batch (reference: src/kernel.cuh:579)
-BLAS_NODES = BATCH_SIZE - 1
+# Leaves hold GROUP morton-adjacent triangles (the reference uses 1
+# tri/leaf, src/buildBVH.cuh:18-271).  Wider leaves trade pure-vector
+# triangle tests for internal traversal steps.  MEASURED on terrain
+# 1080p (v5e): GROUP=4 -> 403 ms/frame vs GROUP=1 -> 346 ms — the 4x
+# leaf-visit record fetches cost more than the ~2 saved tree levels, so
+# the default stays 1; the machinery is kept for re-sweeping after
+# fetch-cost changes.
+GROUP = 1
+GROUPS_PER_BATCH = BATCH_SIZE // GROUP
+BLAS_NODES = GROUPS_PER_BATCH - 1
 MAX_BATCHES = 1024         # reference: src/init.cu:126
 STACK_DEPTH = 16           # reference: src/traverse.h:26
 MAX_TRAVERSAL_STEPS = 1024  # reference: src/traverse.h:132

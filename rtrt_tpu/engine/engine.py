@@ -69,7 +69,7 @@ def packet_tables_fit(num_batches: int) -> bool:
     staging budget.
 
     The packet/megakernel paths stage the whole node+triangle table set
-    into VMEM scratch (bvh/packet.py: 72 B/node + 136 B/tri); past the
+    into VMEM scratch (bvh/packet.py: 64 B/node + 128 B/tri); past the
     budget (v5e: 128 MiB physical, ~114 MiB scoped, minus ray/output
     blocks) that staging cannot compile, so huge scenes — the reference
     envelope reaches 1M tris (src/kernel.cuh:54-55) — fall back to the XLA
@@ -77,7 +77,7 @@ def packet_tables_fit(num_batches: int) -> bool:
     from ..bvh.types import BATCH_SIZE, BLAS_NODES
     nodes = 2 * num_batches + num_batches * BLAS_NODES
     tris = num_batches * BATCH_SIZE
-    table_mb = (nodes * (64 + 8) + tris * (64 + 64 + 8)) / 2**20
+    table_mb = (nodes * 64 + tris * (64 + 64)) / 2**20
     budget_mb = float(os.environ.get("RTRT_VMEM_TABLE_BUDGET_MB", "96"))
     return table_mb <= budget_mb
 

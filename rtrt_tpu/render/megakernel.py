@@ -316,13 +316,13 @@ def _unpack_sun(read) -> SunParamsC:
 
 
 def _mega_kernel(sun_ref, frame_ref,
-                 nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
+                 nodes_f_ref, tris_ref, attr_f_ref,
                  mat_ref, light_ref,
                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                  cone_ref, pix_ref, bnx_ref, bny_ref,
                  out_o,
                  stack_ref, tstack_ref, park_ref,
-                 nodes_f_v, nodes_i_v, tris_v, attr_f_v, attr_i_v,
+                 nodes_f_v, tris_v, attr_f_v,
                  tdma_sem, *sub_refs,
                  tlas_internal, n_materials, n_lights, segments,
                  max_steps, use_proctex, use_bn, img_mode, subtile_rows=0,
@@ -339,16 +339,15 @@ def _mega_kernel(sun_ref, frame_ref,
 
     @pl.when(step0)
     def _copy_tables():
-        pairs = [(nodes_f_ref, nodes_f_v), (nodes_i_ref, nodes_i_v),
-                 (tris_ref, tris_v), (attr_f_ref, attr_f_v),
-                 (attr_i_ref, attr_i_v)]
+        pairs = [(nodes_f_ref, nodes_f_v),
+                 (tris_ref, tris_v), (attr_f_ref, attr_f_v)]
         for k, (src, dst) in enumerate(pairs):
             pltpu.make_async_copy(src, dst, tdma_sem.at[k]).start()
         for k, (src, dst) in enumerate(pairs):
             pltpu.make_async_copy(src, dst, tdma_sem.at[k]).wait()
 
-    nodes_f_ref, nodes_i_ref = nodes_f_v, nodes_i_v
-    tris_ref, attr_f_ref, attr_i_ref = tris_v, attr_f_v, attr_i_v
+    nodes_f_ref = nodes_f_v
+    tris_ref, attr_f_ref = tris_v, attr_f_v
 
     sun = _unpack_sun(lambda i: sun_ref[i])
     frame = frame_ref[0].astype(jnp.uint32)
@@ -382,7 +381,7 @@ def _mega_kernel(sun_ref, frame_ref,
 
     def traverse_full(org, dir, t_cap, fh):
         return traverse_tile(
-            nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
+            nodes_f_ref, tris_ref, attr_f_ref,
             stack_ref, tstack_ref, org.x, org.y, org.z,
             dir.x, dir.y, dir.z, t_cap,
             tlas_internal=tlas_internal, any_hit=False, max_steps=max_steps,
@@ -396,13 +395,13 @@ def _mega_kernel(sun_ref, frame_ref,
         cap_sh = jnp.where(fh, t_cap, 0.0)
         cap_sc = jnp.where(fh, 0.0, t_cap)
         h_sh = traverse_tile(
-            nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
+            nodes_f_ref, tris_ref, attr_f_ref,
             stack_ref, tstack_ref, org.x, org.y, org.z,
             dir.x, dir.y, dir.z, cap_sh,
             tlas_internal=tlas_internal, any_hit=True, max_steps=max_steps,
             first_hit=fh, lean=True, interpret=interpret)
         h_sc = traverse_tile(
-            nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref, attr_i_ref,
+            nodes_f_ref, tris_ref, attr_f_ref,
             stack_ref, tstack_ref, org.x, org.y, org.z,
             dir.x, dir.y, dir.z, cap_sc,
             tlas_internal=tlas_internal, any_hit=False, max_steps=max_steps,
@@ -440,11 +439,11 @@ def _mega_kernel(sun_ref, frame_ref,
 
             def do_trace(_):
                 return traverse_tile(
-                    nodes_f_ref, nodes_i_ref, tris_ref, attr_f_ref,
-                    attr_i_ref, stack_ref, tstack_ref, *comp[:7],
+                    nodes_f_ref, tris_ref, attr_f_ref,
+                    stack_ref, tstack_ref, *comp[:7],
                     tlas_internal=tlas_internal, any_hit=False,
                     max_steps=max_steps, first_hit=comp[7] > 0.0,
-                    interpret=interpret)
+                    lean=_lean, interpret=interpret)
 
             def no_trace(_):
                 shp = (sub, tw)
@@ -648,7 +647,7 @@ def megakernel_trace(tables: PacketTables, mat_rows, light_rows, sun_vec,
     # big tables: ANY (HBM) inputs, staged into VMEM scratch once at grid
     # step 0 by the kernel itself (see _mega_kernel); small mat/light rows
     # ride the normal VMEM pipeline
-    table_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 5 \
+    table_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3 \
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
 
     outs = pl.pallas_call(
@@ -661,19 +660,17 @@ def megakernel_trace(tables: PacketTables, mat_rows, light_rows, sun_vec,
                         pltpu.SMEM((STACK,), jnp.float32),
                         pltpu.VMEM((28,) + TILE_SHAPE, jnp.float32),
                         pltpu.VMEM(tables.nodes_f32.shape, jnp.float32),
-                        pltpu.VMEM(tables.nodes_i32.shape, jnp.int32),
                         pltpu.VMEM(tables.tris_f32.shape, jnp.float32),
                         pltpu.VMEM(tables.attr_f32.shape, jnp.float32),
-                        pltpu.VMEM(tables.attr_i32.shape, jnp.int32),
-                        pltpu.SemaphoreType.DMA((5,))]
+                        pltpu.SemaphoreType.DMA((3,))]
         + ([pltpu.VMEM((8 * TILE_SHAPE[0], TILE_SHAPE[1]), jnp.float32),
             pltpu.VMEM((9 * TILE_SHAPE[0], TILE_SHAPE[1]), jnp.float32),
             pltpu.VMEM((2 * TILE_SHAPE[0], TILE_SHAPE[1]), jnp.int32)]
            if subtile_rows else []),
         interpret=interpret,
     )(sun_vec, jnp.reshape(frame_idx.astype(jnp.int32), (1,)),
-      tables.nodes_f32, tables.nodes_i32, tables.tris_f32,
-      tables.attr_f32, tables.attr_i32, mat_rows, light_rows, *ray_in)
+      tables.nodes_f32, tables.tris_f32, tables.attr_f32,
+      mat_rows, light_rows, *ray_in)
 
     if img_mode:
         flat = [outs[k] for k in range(18)]
