@@ -531,15 +531,28 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
                     jnp.where(m, a[10], ngy),
                     jnp.where(m, a[11], ngz))
 
+        # Dual-ended extraction: each iteration resolves BOTH the smallest
+        # and the largest unresolved winner.  The min and max reductions
+        # are independent (their vector->scalar syncs overlap), as are the
+        # two record fetches, so one iteration latency buys two winners.
+        # The max view uses -1 as its empty sentinel (max over imax-filled
+        # pend would never terminate).
+        def mx_of(pend):
+            return jnp.max(jnp.where(pend == imax, -1, pend))
+
         st = (pend0, zi, zf(), zf(), zf(), zf(), zf(), zf())
-        r0 = st + (jnp.min(st[0]),)
+        r0 = st + (jnp.min(pend0), mx_of(pend0))
 
         def rcond(s):
-            return s[-1] != imax
+            return s[-2] != imax
 
         def rstep(s):
-            nw = resolve_one(s[-1], s[:-1])
-            return nw + (jnp.min(nw[0]),)
+            lo, hi = s[-2], s[-1]
+            nw = resolve_one(lo, s[:-2])
+            # hi == lo when one winner remains: the second resolve is a
+            # no-op re-fetch, never a corruption (its mask is empty)
+            nw = resolve_one(hi, nw)
+            return nw + (jnp.min(nw[0]), mx_of(nw[0]))
 
         rout = jax.lax.while_loop(rcond, rstep, r0)
         mat, nsx, nsy, nsz, ngx, ngy, ngz = rout[1:8]

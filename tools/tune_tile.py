@@ -32,11 +32,13 @@ eng = Engine(GlobalSettings(render_width={w}, render_height={h},
                             scene={scene!r}, texture_size=256,
                             dynamic_resolution=DynamicResolution(
                                 enabled=False)))
-eng.render_frame_device(dt=1 / 60)
-eng.render_frame_device(dt=1 / 60)
+jax.block_until_ready(eng.render_frame_device(dt=1 / 60))
+jax.block_until_ready(eng.render_frame_device(dt=1 / 60))
 t0 = time.perf_counter()
+img = None
 for _ in range({frames}):
-    eng.render_frame_device(dt=1 / 60)
+    img = eng.render_frame_device(dt=1 / 60)
+jax.block_until_ready(img)  # pipelined: one barrier after all dispatches
 ms = (time.perf_counter() - t0) / {frames} * 1e3
 print("TUNE_RESULT " + json.dumps(dict(shape=os.environ["RTRT_TILE_SHAPE"],
                                        ms=round(ms, 2))))
