@@ -147,21 +147,38 @@ def pack_for_packets(bvh: SceneBvh, tri_nrm_t=None, tri_mat=None) -> PacketTable
 
 def _rec_fetch(ref, i, stride, interpret):
     """Fetch packed record i from a (R,128) table: one dynamic sublane read
-    + one lane rotate; returns a (128,) value whose first `stride` lanes
-    are the record (callers index [0..stride))."""
+    + one lane rotate; returns the rotated (1,128) row whose first `stride`
+    lanes are the record.
+
+    Callers consume lanes through `_lv` / `_ls` (lane k as a scalar).
+    NOTE: an attempt to keep box/vertex lanes in the vector domain as
+    (1,1) static slices broadcast against the ray tile died in Mosaic —
+    "Broadcast in both sublanes and lanes: Not implemented", and neither
+    two-stage broadcasts, optimization barriers, nor lane-0 rolls avoid
+    the folding (probed on v5e, 2026-08).  Scalar extracts it is."""
     per = 128 // stride
     row = ref[pl.ds(i // per, 1), :]          # (1,128)
     sh = stride * (i % per)
     if interpret:
-        return jnp.roll(row, -sh, axis=1)[0]
+        return jnp.roll(row, -sh, axis=1)
     shift = jnp.where(sh == 0, 0, 128 - sh)
-    return pltpu.roll(row, shift, 1)[0]
+    return pltpu.roll(row, shift, 1)
+
+
+def _lv(row, k):
+    """Lane k of a fetched (1,128) record (scalar; broadcasts in jnp ops)."""
+    return row[0, k]
+
+
+def _ls(row, k):
+    """Lane k of a fetched (1,128) record as a scalar (control flow)."""
+    return row[0, k]
 
 
 def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
                   stack_ref, tstack_ref, ox, oy, oz, dx, dy, dz, t_cap, *,
                   tlas_internal, any_hit, max_steps, first_hit=None,
-                  lean=False, interpret=False):
+                  lean=False, arity=2, interpret=False):
     """Shared-stack packet traversal over one ray tile — pure kernel code,
     reusable from other Pallas kernels (the path-trace megakernel calls this
     once per bounce segment with the stack scratch it owns).
@@ -244,7 +261,8 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
         return hit, tn
 
     def tri_hit(v, best):
-        """v: (12,) scalar row; vectorized watertight over the tile."""
+        """v: fetched (1,128) record; vectorized watertight over the tile
+        (vertex lanes ride as (1,1) broadcasts — no scalar extracts)."""
         def prep(c0, c1, c2):
             px = c0 - ox
             py = c1 - oy
@@ -252,9 +270,9 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
             return (sel(kx, px, py, pz), sel(ky, px, py, pz),
                     sel(kz, px, py, pz))
 
-        axx, axy, axz = prep(v[0], v[1], v[2])
-        bxx, bxy, bxz = prep(v[3], v[4], v[5])
-        cxx, cxy, cxz = prep(v[6], v[7], v[8])
+        axx, axy, axz = prep(_lv(v, 0), _lv(v, 1), _lv(v, 2))
+        bxx, bxy, bxz = prep(_lv(v, 3), _lv(v, 4), _lv(v, 5))
+        cxx, cxy, cxz = prep(_lv(v, 6), _lv(v, 7), _lv(v, 8))
         aex = axx - sx * axz
         aey = axy - sy * axz
         bex = bxx - sx * bxz
@@ -278,11 +296,18 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
     # Root node row 0 holds the TLAS root's two child AABBs; their union is
     # the scene bounds.  A true hit point lies inside the root box, so
     # t_hit <= root exit; capping best_t there (with f32 slack) is exact.
-    nf0 = _rec_fetch(nodes_f_ref, 0, 16, interpret)
-    rlo = (jnp.minimum(nf0[0], nf0[6]), jnp.minimum(nf0[1], nf0[7]),
-           jnp.minimum(nf0[2], nf0[8]))
-    rhi = (jnp.maximum(nf0[3], nf0[9]), jnp.maximum(nf0[4], nf0[10]),
-           jnp.maximum(nf0[5], nf0[11]))
+    stride = 16 if arity == 2 else 32
+    nf0 = _rec_fetch(nodes_f_ref, 0, stride, interpret)
+    # union over the root's child boxes = scene bounds (empty 4-wide slots
+    # carry inverted boxes: +inf lo / -inf hi, identity under min/max)
+    rlo = tuple(
+        functools.reduce(jnp.minimum,
+                         [_lv(nf0, 6 * c + k) for c in range(arity)])
+        for k in range(3))
+    rhi = tuple(
+        functools.reduce(jnp.maximum,
+                         [_lv(nf0, 6 * c + 3 + k) for c in range(arity)])
+        for k in range(3))
     r_tn = jnp.maximum(
         jnp.maximum((jnp.where(ix < 0, rhi[0], rlo[0]) - ox) * ix,
                     (jnp.where(iy < 0, rhi[1], rlo[1]) - oy) * iy),
@@ -310,6 +335,137 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
         hs0 = hs0 + (jnp.zeros(shape, jnp.int32),
                      zf(), zf(), zf(), zf(), zf(), zf())
     nh = len(hs0)
+
+    # leaf children: test now (scalar tri row, dense lanes); surface
+    # attributes (shading/geometric normals, material) are computed AT
+    # ACCEPT TIME from scalar rows — the integrator never gathers
+    # per-triangle data again.  carry = hs + (leafv, bound).
+    def maybe_leaf(e, anyhit_flag, carry):
+        is_leaf = (e & _LEAF_BIT) != 0
+        do = is_leaf & anyhit_flag
+
+        def yes(args):
+            best_t, tri, uo, vo = args[0:4]
+            leafv, bound = args[-2:]
+            base = ((e >> _BATCH_SHIFT) & _BATCH_MASK) * BATCH_SIZE \
+                + (e & _IDX_MASK) * GROUP
+            # test the leaf's GROUP morton-adjacent triangles and reduce
+            # to a per-lane best-of-group FIRST — the carry planes and the
+            # prune bound are then updated once per leaf visit, not once
+            # per triangle (tri tests are pure vector work; bound updates
+            # are scalar syncs)
+            gt = jnp.full(shape, jnp.inf, jnp.float32)
+            gtri = jnp.zeros(shape, jnp.int32)
+            gu = zf()
+            gv = zf()
+            vs = []
+            for k in range(GROUP):
+                t_idx = base + k
+                v = _rec_fetch(tris_ref, t_idx, 16, interpret)
+                vs.append((t_idx, v))
+                ok, tt, tu, tv = tri_hit(v, best_t)
+                gb = ok & (tt < gt)
+                gt = jnp.where(gb, tt, gt)
+                gtri = jnp.where(gb, t_idx, gtri)
+                gu = jnp.where(gb, tu, gu)
+                gv = jnp.where(gb, tv, gv)
+            # tri_hit already enforces tt < best_t, so any finite
+            # group-best is an improvement
+            better = gt < best_t
+            tt = gt
+            if first_hit is not None:
+                # per-lane any-hit: an occluded shadow lane leaves the
+                # union entirely (-inf best fails every slab and triangle
+                # test; callers never read its t)
+                tt = jnp.where(first_hit & better, -jnp.inf, tt)
+            new_best = jnp.where(better, tt, best_t)
+            out = (new_best,
+                   jnp.where(better, gtri, tri),
+                   jnp.where(better, gu, uo),
+                   jnp.where(better, gv, vo))
+            if not lean:
+                mat, nsx, nsy, nsz, ngx, ngy, ngz = args[4:11]
+                for t_idx, v in vs:
+                    m = better & (gtri == t_idx)
+                    # one attr fetch: shading normals, precomputed
+                    # geometric normal, material bits
+                    a = _rec_fetch(attr_f_ref, t_idx, 16, interpret)
+                    am = _lv(a, 12).astype(jnp.int32)
+                    # interpolated shading normal (rows x bary)
+                    tw = 1.0 - gu - gv
+                    inx = tw * _lv(a, 0) + gu * _lv(a, 3) + gv * _lv(a, 6)
+                    iny = tw * _lv(a, 1) + gu * _lv(a, 4) + gv * _lv(a, 7)
+                    inz = tw * _lv(a, 2) + gu * _lv(a, 5) + gv * _lv(a, 8)
+                    mat = jnp.where(m, am, mat)
+                    nsx = jnp.where(m, inx, nsx)
+                    nsy = jnp.where(m, iny, nsy)
+                    nsz = jnp.where(m, inz, nsz)
+                    ngx = jnp.where(m, _lv(a, 9), ngx)
+                    ngy = jnp.where(m, _lv(a, 10), ngy)
+                    ngz = jnp.where(m, _lv(a, 11), ngz)
+                out = out + (mat, nsx, nsy, nsz, ngx, ngy, ngz)
+            # prune bound tightens as lanes accept hits
+            return out + (leafv + GROUP, jnp.max(new_best))
+
+        # lax.cond keeps the leaf work off the pure-internal steps
+        return jax.lax.cond(do, yes, lambda a: a, carry)
+
+    def _visit4(row, sp, hs, leafv, bound, best_t):
+        """4-wide node visit (flat SAH4 trees, bvh/sah.py): one stride-32
+        record fetch serves two binary levels — 4 slab tests, up to 3
+        pushes via a 5-comparator scalar sort network, nearest continues.
+        Same fetch machinery cost as the binary record; ~halves steps."""
+        nf = _rec_fetch(nodes_f_ref, row, 32, interpret)
+        es, mins = [], []
+        for c in range(4):
+            h_c, t_c = slab(_lv(nf, 6 * c), _lv(nf, 6 * c + 1),
+                            _lv(nf, 6 * c + 2), _lv(nf, 6 * c + 3),
+                            _lv(nf, 6 * c + 4), _lv(nf, 6 * c + 5), best_t)
+            mins.append(jnp.min(jnp.where(h_c, t_c, jnp.inf)))
+            es.append(_ls(nf, 24 + c).astype(jnp.int32))
+        carry = hs + (leafv, bound)
+        for c in range(4):
+            # empty slots (entry -1) carry inverted boxes -> min == inf
+            carry = maybe_leaf(es[c], mins[c] < jnp.inf, carry)
+        hs = carry[:nh]
+        leafv, bound = carry[-2:]
+
+        # internal candidates, sorted near-first by tile-min entry
+        pairs = [(jnp.where((mins[c] < jnp.inf)
+                            & ((es[c] & _LEAF_BIT) == 0),
+                            mins[c], jnp.inf), es[c]) for c in range(4)]
+
+        def cswap(a, b):
+            sw = a[0] > b[0]
+            return ((jnp.where(sw, b[0], a[0]), jnp.where(sw, b[1], a[1])),
+                    (jnp.where(sw, a[0], b[0]), jnp.where(sw, a[1], b[1])))
+
+        p0, p1, p2, p3 = pairs
+        p0, p1 = cswap(p0, p1)
+        p2, p3 = cswap(p2, p3)
+        p0, p2 = cswap(p0, p2)
+        p1, p3 = cswap(p1, p3)
+        p1, p2 = cswap(p1, p2)
+        # push far-to-near so the nearest pops first.  Valid candidates
+        # sort to the front (inf last); each write is predicated on
+        # validity + capacity (a full stack drops the deepest pushes, as
+        # the reference's 16-deep stack does — src/traverse.h:35)
+        c3 = ((p3[0] < jnp.inf) & (sp < STACK)).astype(jnp.int32)
+        w3 = jnp.minimum(sp, STACK - 1)
+        stack_ref[w3] = jnp.where(c3 > 0, p3[1], stack_ref[w3])
+        tstack_ref[w3] = jnp.where(c3 > 0, p3[0], tstack_ref[w3])
+        c2 = ((p2[0] < jnp.inf) & (sp + c3 < STACK)).astype(jnp.int32)
+        w2 = jnp.minimum(sp + c3, STACK - 1)
+        stack_ref[w2] = jnp.where(c2 > 0, p2[1], stack_ref[w2])
+        tstack_ref[w2] = jnp.where(c2 > 0, p2[0], tstack_ref[w2])
+        c1 = ((p1[0] < jnp.inf) & (sp + c3 + c2 < STACK)).astype(jnp.int32)
+        w1 = jnp.minimum(sp + c3 + c2, STACK - 1)
+        stack_ref[w1] = jnp.where(c1 > 0, p1[1], stack_ref[w1])
+        tstack_ref[w1] = jnp.where(c1 > 0, p1[0], tstack_ref[w1])
+        sp = sp + c1 + c2 + c3
+        nxt = jnp.where(p0[0] < jnp.inf, p0[1], jnp.int32(-1))
+        return (sp,) + hs + (leafv, bound, p0[0], nxt)
+
     init = (jnp.int32(0),) + hs0 + (
         jnp.int32(0),                      # steps
         jnp.int32(0),                      # leaf visits (replay-log bound)
@@ -346,16 +502,24 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
             idx = cur & _IDX_MASK
             batch = (cur >> _BATCH_SHIFT) & _BATCH_MASK
             is_blas = (cur & _BLAS_BIT) != 0
+            # non-BLAS rows read the full 22-bit idx|batch field: TLAS
+            # nodes carry batch == 0 (row == idx, the two-level layout) and
+            # flat SAH trees use it as the whole node id (bvh/sah.py)
             row = jnp.where(is_blas,
-                            tlas_internal + batch * BLAS_NODES + idx, idx)
+                            tlas_internal + batch * BLAS_NODES + idx,
+                            cur & (_BLAS_BIT - 1))
+            if arity == 4:
+                return _visit4(row, sp, hs, leafv, bound, best_t)
             nf = _rec_fetch(nodes_f_ref, row, 16, interpret)
             # child entries ride lanes 12/13 of the same record as exact
             # f32 values (< 2^24) — ONE fetch per traversal step
-            le = nf[12].astype(jnp.int32)
-            re = nf[13].astype(jnp.int32)
+            le = _ls(nf, 12).astype(jnp.int32)
+            re = _ls(nf, 13).astype(jnp.int32)
 
-            hl, tl = slab(nf[0], nf[1], nf[2], nf[3], nf[4], nf[5], best_t)
-            hr, tr = slab(nf[6], nf[7], nf[8], nf[9], nf[10], nf[11], best_t)
+            hl, tl = slab(_lv(nf, 0), _lv(nf, 1), _lv(nf, 2),
+                          _lv(nf, 3), _lv(nf, 4), _lv(nf, 5), best_t)
+            hr, tr = slab(_lv(nf, 6), _lv(nf, 7), _lv(nf, 8),
+                          _lv(nf, 9), _lv(nf, 10), _lv(nf, 11), best_t)
             # ONE cross-lane reduction per child: the tile-min entry also
             # answers "any lane hit" (inf = none) — each reduction is a
             # vector->scalar sync, so halving them matters at ~1 us/step
@@ -363,80 +527,6 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
             minr = jnp.min(jnp.where(hr, tr, jnp.inf))
             anyl = minl < jnp.inf
             anyr = minr < jnp.inf
-
-            # leaf children: test now (scalar tri row, dense lanes);
-            # surface attributes (shading/geometric normals, material) are
-            # computed AT ACCEPT TIME from scalar rows — the integrator
-            # never gathers per-triangle data again
-            def maybe_leaf(e, anyhit_flag, carry):
-                is_leaf = (e & _LEAF_BIT) != 0
-                do = is_leaf & anyhit_flag
-
-                def yes(args):
-                    best_t, tri, uo, vo = args[0:4]
-                    leafv, bound = args[-2:]
-                    base = ((e >> _BATCH_SHIFT) & _BATCH_MASK) * BATCH_SIZE \
-                        + (e & _IDX_MASK) * GROUP
-                    # test the leaf's GROUP morton-adjacent triangles and
-                    # reduce to a per-lane best-of-group FIRST — the carry
-                    # planes and the prune bound are then updated once per
-                    # leaf visit, not once per triangle (tri tests are
-                    # pure vector work; bound updates are scalar syncs)
-                    gt = jnp.full(shape, jnp.inf, jnp.float32)
-                    gtri = jnp.zeros(shape, jnp.int32)
-                    gu = zf()
-                    gv = zf()
-                    vs = []
-                    for k in range(GROUP):
-                        t_idx = base + k
-                        v = _rec_fetch(tris_ref, t_idx, 16, interpret)
-                        vs.append((t_idx, v))
-                        ok, tt, tu, tv = tri_hit(v, best_t)
-                        gb = ok & (tt < gt)
-                        gt = jnp.where(gb, tt, gt)
-                        gtri = jnp.where(gb, t_idx, gtri)
-                        gu = jnp.where(gb, tu, gu)
-                        gv = jnp.where(gb, tv, gv)
-                    # tri_hit already enforces tt < best_t, so any finite
-                    # group-best is an improvement
-                    better = gt < best_t
-                    tt = gt
-                    if first_hit is not None:
-                        # per-lane any-hit: an occluded shadow lane leaves
-                        # the union entirely (-inf best fails every slab
-                        # and triangle test; callers never read its t)
-                        tt = jnp.where(first_hit & better, -jnp.inf, tt)
-                    new_best = jnp.where(better, tt, best_t)
-                    out = (new_best,
-                           jnp.where(better, gtri, tri),
-                           jnp.where(better, gu, uo),
-                           jnp.where(better, gv, vo))
-                    if not lean:
-                        mat, nsx, nsy, nsz, ngx, ngy, ngz = args[4:11]
-                        for t_idx, v in vs:
-                            m = better & (gtri == t_idx)
-                            # one attr fetch: shading normals, precomputed
-                            # geometric normal, material bits
-                            a = _rec_fetch(attr_f_ref, t_idx, 16, interpret)
-                            am = a[12].astype(jnp.int32)
-                            # interpolated shading normal (rows x bary)
-                            tw = 1.0 - gu - gv
-                            inx = tw * a[0] + gu * a[3] + gv * a[6]
-                            iny = tw * a[1] + gu * a[4] + gv * a[7]
-                            inz = tw * a[2] + gu * a[5] + gv * a[8]
-                            mat = jnp.where(m, am, mat)
-                            nsx = jnp.where(m, inx, nsx)
-                            nsy = jnp.where(m, iny, nsy)
-                            nsz = jnp.where(m, inz, nsz)
-                            ngx = jnp.where(m, a[9], ngx)
-                            ngy = jnp.where(m, a[10], ngy)
-                            ngz = jnp.where(m, a[11], ngz)
-                        out = out + (mat, nsx, nsy, nsz, ngx, ngy, ngz)
-                    # prune bound tightens as lanes accept hits
-                    return out + (leafv + GROUP, jnp.max(new_best))
-
-                # lax.cond keeps the leaf work off the pure-internal steps
-                return jax.lax.cond(do, yes, lambda a: a, carry)
 
             carry = hs + (leafv, bound)
             carry = maybe_leaf(le, anyl, carry)
@@ -513,23 +603,24 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
         def resolve_one(cand, s):
             pend, mat, nsx, nsy, nsz, ngx, ngy, ngz = s
             # ONE record fetch: shading normals (lanes 0-8), precomputed
-            # geometric normal (9-11), material bits (12)
+            # geometric normal (9-11), material bits (12); all lanes stay
+            # in the vector domain as (1,1) broadcasts
             a = _rec_fetch(attr_f_ref, cand, 16, interpret)
-            am = a[12].astype(jnp.int32)
+            am = _lv(a, 12).astype(jnp.int32)
             m = pend == cand
-            # interpolated shading normal (scalar rows x winning bary)
+            # interpolated shading normal (record rows x winning bary)
             tw = 1.0 - uo - vo
-            inx = tw * a[0] + uo * a[3] + vo * a[6]
-            iny = tw * a[1] + uo * a[4] + vo * a[7]
-            inz = tw * a[2] + uo * a[5] + vo * a[8]
+            inx = tw * _lv(a, 0) + uo * _lv(a, 3) + vo * _lv(a, 6)
+            iny = tw * _lv(a, 1) + uo * _lv(a, 4) + vo * _lv(a, 7)
+            inz = tw * _lv(a, 2) + uo * _lv(a, 5) + vo * _lv(a, 8)
             return (jnp.where(m, imax, pend),
                     jnp.where(m, am, mat),
                     jnp.where(m, inx, nsx),
                     jnp.where(m, iny, nsy),
                     jnp.where(m, inz, nsz),
-                    jnp.where(m, a[9], ngx),
-                    jnp.where(m, a[10], ngy),
-                    jnp.where(m, a[11], ngz))
+                    jnp.where(m, _lv(a, 9), ngx),
+                    jnp.where(m, _lv(a, 10), ngy),
+                    jnp.where(m, _lv(a, 11), ngz))
 
         # Dual-ended extraction: each iteration resolves BOTH the smallest
         # and the largest unresolved winner.  The min and max reductions

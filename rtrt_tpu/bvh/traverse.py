@@ -201,7 +201,11 @@ def _intersect_chunk(bvh: SceneBvh, org, dir, t_max, any_hit,
         blas = entry_is_blas(cur)
         idx = entry_idx(cur)
         batch = entry_batch(cur)
-        row = jnp.where(blas, tlas_internal + batch * BLAS_NODES + idx, idx)
+        # non-BLAS rows use the full 22-bit idx|batch field: TLAS nodes
+        # carry batch == 0 (row == idx); flat SAH trees use it as the whole
+        # node id (bvh/sah.py)
+        row = jnp.where(blas, tlas_internal + batch * BLAS_NODES + idx,
+                        cur & jnp.int32((1 << 22) - 1))
         row = jnp.where(valid, row, 0)
         # per-component column gathers (native lane layout, no transposes)
         bc = [bvh.boxes_t[k][row] for k in range(12)]

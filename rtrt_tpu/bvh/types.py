@@ -42,7 +42,11 @@ GROUP = 1
 GROUPS_PER_BATCH = BATCH_SIZE // GROUP
 BLAS_NODES = GROUPS_PER_BATCH - 1
 MAX_BATCHES = 1024         # reference: src/init.cu:126
-STACK_DEPTH = 16           # reference: src/traverse.h:26
+STACK_DEPTH = 48           # reference uses 16 (src/traverse.h:26) for its
+                           # two-level tree; flat SAH trees (bvh/sah.py) can
+                           # run ~2x log2(N) deep, so the wavefront stack is
+                           # sized for the 1M-tri envelope (overflow drops
+                           # the far child, as in the reference)
 MAX_TRAVERSAL_STEPS = 1024  # reference: src/traverse.h:132
 
 ENTRY_INVALID = jnp.int32(-1)

@@ -53,6 +53,11 @@ def _load():
                                         c.POINTER(fp), i64p, c.POINTER(ip),
                                         i64p]
     lib.rtrt_morton_sort_tris.argtypes = [fp, c.c_int64]
+    lib.rtrt_build_sah.argtypes = [fp, c.c_int64, c.POINTER(fp),
+                                   c.POINTER(ip), c.POINTER(ip), i64p]
+    lib.rtrt_build_sah4.argtypes = [fp, c.c_int64, c.POINTER(fp),
+                                    c.POINTER(ip), i64p]
+    lib.rtrt_collapse4.argtypes = [fp, ip, c.c_int64, c.POINTER(fp), i64p]
     _LIB = lib
     return lib
 
@@ -176,3 +181,54 @@ def morton_sort_tris(v0, v1, v2):
     lib.rtrt_morton_sort_tris(
         soup.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), soup.shape[0])
     return soup[:, 0], soup[:, 1], soup[:, 2]
+
+
+def build_sah(tris):
+    """Binned-SAH flat BVH over a (n, 9) triangle soup (n >= 2).
+
+    Returns (boxes (m,12) f32, children (m,2) i32 packed entries,
+    perm (n,) i32 sorted-slot -> input index) or None if the library is
+    absent (bvh/sah.py has the pure-numpy fallback).  Node/entry layout
+    documented at rtrt_native.cpp::rtrt_build_sah.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    soup = np.ascontiguousarray(tris, np.float32)
+    n = soup.shape[0]
+    assert soup.shape == (n, 9) and n >= 2, soup.shape
+    boxes = ctypes.POINTER(ctypes.c_float)()
+    children = ctypes.POINTER(ctypes.c_int32)()
+    perm = ctypes.POINTER(ctypes.c_int32)()
+    m = ctypes.c_int64()
+    lib.rtrt_build_sah(
+        soup.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+        ctypes.byref(boxes), ctypes.byref(children), ctypes.byref(perm),
+        ctypes.byref(m))
+    return (_take_f32(lib, boxes, m.value * 12).reshape(m.value, 12),
+            _take_i32(lib, children, m.value * 2).reshape(m.value, 2),
+            _take_i32(lib, perm, n))
+
+
+def build_sah4(tris):
+    """4-wide SAH BVH (binary binned-SAH build + greedy collapse).
+
+    Returns (nodes (q,32) f32 records, perm (n,) i32) or None if the
+    library is absent.  Record layout documented at
+    rtrt_native.cpp::rtrt_build_sah4 (24 box floats, 4 child entries as
+    exact f32, 4 pad lanes).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    soup = np.ascontiguousarray(tris, np.float32)
+    n = soup.shape[0]
+    assert soup.shape == (n, 9) and n >= 2, soup.shape
+    nodes = ctypes.POINTER(ctypes.c_float)()
+    perm = ctypes.POINTER(ctypes.c_int32)()
+    q = ctypes.c_int64()
+    lib.rtrt_build_sah4(
+        soup.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+        ctypes.byref(nodes), ctypes.byref(perm), ctypes.byref(q))
+    return (_take_f32(lib, nodes, q.value * 32).reshape(q.value, 32),
+            _take_i32(lib, perm, n))

@@ -457,4 +457,330 @@ void rtrt_morton_sort_tris(float* soup, int64_t ntris) {
   memcpy(soup, tmp.data(), tmp.size() * sizeof(float));
 }
 
+// ---------------------------------------------------------------------------
+// Binned-SAH BVH builder (init-time, static scenes)
+//
+// The per-frame path keeps the LBVH (bvh/build.py — the analog of the
+// reference's every-frame rebuild, src/bvh.cu:7-97); static scenes can
+// afford a far better tree ONCE at init.  A binned SAH build (Wald 2007)
+// yields ~1.5-2x fewer node visits per ray than morton LBVH, which
+// directly divides the packet kernel's per-tile step unions.
+//
+// Output is a FLAT binary tree in the packet-kernel's node-record layout:
+//   boxes:    m*12 floats  [Llo(3) Lhi(3) Rlo(3) Rhi(3)] per internal node
+//   children: m*2  int32   pre-packed stack entries (bvh/types.py):
+//               internal -> node id in bits 0..21 (idx | batch<<11)
+//               leaf     -> LEAF_BIT | slot%1024 | (slot/1024)<<11
+//                           (decodes to tri base = slot, GROUP=1)
+//   perm:     n int32      sorted leaf slot -> input triangle index
+// Root = node 0; m = n-1 (singleton leaves).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct SahBuilder {
+  static constexpr int kBins = 16;
+  const float* tris;  // n*9
+  std::vector<float> tb;       // n*6 triangle AABBs
+  std::vector<float> tc;       // n*3 centroids
+  std::vector<int32_t> order;  // permuted in place during the build
+  std::vector<float> boxes;    // m*12
+  std::vector<int32_t> children;  // m*2
+
+  void tri_bounds(int64_t t, float* lo, float* hi) const {
+    for (int k = 0; k < 3; ++k) {
+      float a = tris[9 * t + k], b = tris[9 * t + 3 + k],
+            c = tris[9 * t + 6 + k];
+      lo[k] = std::min(a, std::min(b, c));
+      hi[k] = std::max(a, std::max(b, c));
+    }
+  }
+
+  void range_bounds(int64_t lo, int64_t hi, float* blo, float* bhi) const {
+    for (int k = 0; k < 3; ++k) { blo[k] = 1e30f; bhi[k] = -1e30f; }
+    for (int64_t i = lo; i < hi; ++i) {
+      const float* b = &tb[6 * order[i]];
+      for (int k = 0; k < 3; ++k) {
+        blo[k] = std::min(blo[k], b[k]);
+        bhi[k] = std::max(bhi[k], b[3 + k]);
+      }
+    }
+  }
+
+  static double area(const float* lo, const float* hi) {
+    double dx = std::max(0.f, hi[0] - lo[0]);
+    double dy = std::max(0.f, hi[1] - lo[1]);
+    double dz = std::max(0.f, hi[2] - lo[2]);
+    return dx * dy + dy * dz + dz * dx;
+  }
+
+  // Builds [lo, hi); returns the packed child entry and fills bb (6 floats).
+  int32_t build(int64_t lo, int64_t hi, float* bb, int depth = 0) {
+    if (hi - lo == 1) {
+      int64_t slot = lo;  // ranges are position-stable: final slot == lo
+      memcpy(bb, &tb[6 * order[lo]], 6 * sizeof(float));
+      return (int32_t)((1 << 23) | ((slot / 1024) << 11) | (slot % 1024));
+    }
+    // centroid bounds pick the split axis
+    float clo[3] = {1e30f, 1e30f, 1e30f}, chi[3] = {-1e30f, -1e30f, -1e30f};
+    for (int64_t i = lo; i < hi; ++i) {
+      const float* c = &tc[3 * order[i]];
+      for (int k = 0; k < 3; ++k) {
+        clo[k] = std::min(clo[k], c[k]);
+        chi[k] = std::max(chi[k], c[k]);
+      }
+    }
+    int axis = 0;
+    float ext = chi[0] - clo[0];
+    for (int k = 1; k < 3; ++k)
+      if (chi[k] - clo[k] > ext) { ext = chi[k] - clo[k]; axis = k; }
+
+    int64_t mid = -1;
+    // lopsided SAH chains can recurse O(n) deep — force median past 64
+    if (ext > 1e-12f && depth < 64) {
+      // binned SAH sweep on the widest centroid axis
+      float blo_[kBins][3], bhi_[kBins][3];
+      int64_t cnt[kBins] = {0};
+      for (int b = 0; b < kBins; ++b)
+        for (int k = 0; k < 3; ++k) { blo_[b][k] = 1e30f; bhi_[b][k] = -1e30f; }
+      float scale = kBins / ext;
+      auto bin_of = [&](int32_t t) {
+        int b = (int)((tc[3 * t + axis] - clo[axis]) * scale);
+        return std::min(kBins - 1, std::max(0, b));
+      };
+      for (int64_t i = lo; i < hi; ++i) {
+        int32_t t = order[i];
+        int b = bin_of(t);
+        ++cnt[b];
+        for (int k = 0; k < 3; ++k) {
+          blo_[b][k] = std::min(blo_[b][k], tb[6 * t + k]);
+          bhi_[b][k] = std::max(bhi_[b][k], tb[6 * t + 3 + k]);
+        }
+      }
+      // suffix bounds/counts, then prefix sweep for min cost
+      double rarea[kBins + 1];
+      int64_t rcnt[kBins + 1];
+      float rlo[3] = {1e30f, 1e30f, 1e30f}, rhi[3] = {-1e30f, -1e30f, -1e30f};
+      rarea[kBins] = 0; rcnt[kBins] = 0;
+      for (int b = kBins - 1; b >= 0; --b) {
+        for (int k = 0; k < 3; ++k) {
+          rlo[k] = std::min(rlo[k], blo_[b][k]);
+          rhi[k] = std::max(rhi[k], bhi_[b][k]);
+        }
+        rarea[b] = area(rlo, rhi);
+        rcnt[b] = rcnt[b + 1] + cnt[b];
+      }
+      double best = 1e300;
+      int best_b = -1;
+      float llo[3] = {1e30f, 1e30f, 1e30f}, lhi[3] = {-1e30f, -1e30f, -1e30f};
+      int64_t lcnt = 0;
+      for (int b = 0; b < kBins - 1; ++b) {
+        for (int k = 0; k < 3; ++k) {
+          llo[k] = std::min(llo[k], blo_[b][k]);
+          lhi[k] = std::max(lhi[k], bhi_[b][k]);
+        }
+        lcnt += cnt[b];
+        if (lcnt == 0 || rcnt[b + 1] == 0) continue;
+        double cost = area(llo, lhi) * lcnt + rarea[b + 1] * rcnt[b + 1];
+        if (cost < best) { best = cost; best_b = b; }
+      }
+      if (best_b >= 0) {
+        int32_t* first = &order[lo];
+        int32_t* last = &order[hi];
+        int32_t* p = std::partition(first, last, [&](int32_t t) {
+          return bin_of(t) <= best_b;
+        });
+        mid = lo + (p - first);
+      }
+    }
+    if (mid <= lo || mid >= hi) {
+      // degenerate centroids or empty side: median split on the axis
+      mid = (lo + hi) / 2;
+      std::nth_element(&order[lo], &order[mid], &order[hi],
+                       [&](int32_t a, int32_t b) {
+                         return tc[3 * a + axis] < tc[3 * b + axis];
+                       });
+    }
+    int32_t id = (int32_t)(boxes.size() / 12);
+    boxes.resize(boxes.size() + 12);
+    children.resize(children.size() + 2);
+    float lbb[6], rbb[6];
+    int32_t le = build(lo, mid, lbb, depth + 1);
+    int32_t re = build(mid, hi, rbb, depth + 1);
+    memcpy(&boxes[12 * id], lbb, 3 * sizeof(float));       // Llo
+    memcpy(&boxes[12 * id + 3], lbb + 3, 3 * sizeof(float));  // Lhi
+    memcpy(&boxes[12 * id + 6], rbb, 3 * sizeof(float));   // Rlo
+    memcpy(&boxes[12 * id + 9], rbb + 3, 3 * sizeof(float));  // Rhi
+    children[2 * id] = le;
+    children[2 * id + 1] = re;
+    for (int k = 0; k < 3; ++k) {
+      bb[k] = std::min(lbb[k], rbb[k]);
+      bb[3 + k] = std::max(lbb[3 + k], rbb[3 + k]);
+    }
+    return id;  // internal entry: node id in bits 0..21, no flags
+  }
+};
+
+}  // namespace
+
+void rtrt_build_sah(const float* tris /* n*9 */, int64_t n,
+                    float** out_boxes, int32_t** out_children,
+                    int32_t** out_perm, int64_t* out_m) {
+  SahBuilder b;
+  b.tris = tris;
+  b.tb.resize(n * 6);
+  b.tc.resize(n * 3);
+  for (int64_t t = 0; t < n; ++t) {
+    b.tri_bounds(t, &b.tb[6 * t], &b.tb[6 * t + 3]);
+    for (int k = 0; k < 3; ++k)
+      b.tc[3 * t + k] = 0.5f * (b.tb[6 * t + k] + b.tb[6 * t + 3 + k]);
+  }
+  b.order.resize(n);
+  for (int64_t i = 0; i < n; ++i) b.order[i] = (int32_t)i;
+  b.boxes.reserve((n - 1) * 12);
+  b.children.reserve((n - 1) * 2);
+  float bb[6];
+  b.build(0, n, bb);
+  int64_t m = (int64_t)(b.boxes.size() / 12);
+  *out_boxes = (float*)malloc(m * 12 * sizeof(float));
+  *out_children = (int32_t*)malloc(m * 2 * sizeof(int32_t));
+  *out_perm = (int32_t*)malloc(n * sizeof(int32_t));
+  memcpy(*out_boxes, b.boxes.data(), m * 12 * sizeof(float));
+  memcpy(*out_children, b.children.data(), m * 2 * sizeof(int32_t));
+  memcpy(*out_perm, b.order.data(), n * sizeof(int32_t));
+  *out_m = m;
+}
+
+// ---------------------------------------------------------------------------
+// 4-wide collapse of the binary SAH tree (Wald 2008-style greedy collapse)
+//
+// Each 4-wide node starts as a binary node's two children and repeatedly
+// inlines the largest-surface-area INTERNAL child's own children until it
+// holds 4.  Halves the tile-step count of the packet traversal (one fetch
+// serves two binary levels; the stride-32 record costs the same dynamic
+// sublane read + lane rotate as the stride-16 one).
+//
+// Output record layout (8 f32-quadruples = 32 lanes, 4 records per
+// 128-lane table row):
+//   [24 child-AABB floats (4x lo(3)+hi(3)) | 4 child entries | 4 pad]
+// Empty slots carry an inverted box (+inf lo / -inf hi: no slab hit) and
+// entry -1.  Entries otherwise as rtrt_build_sah (internal = 4-wide node
+// id in bits 0..21, leaf = LEAF_BIT | slot fields).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Collapse4 {
+  const std::vector<float>* bboxes;      // binary boxes (m*12)
+  const std::vector<int32_t>* bchildren; // binary children (m*2)
+  std::vector<float> nodes;              // out: q*32
+
+  struct Cand {
+    int32_t entry;
+    float bb[6];
+  };
+
+  static double area6(const float* bb) {
+    double dx = std::max(0.f, bb[3] - bb[0]);
+    double dy = std::max(0.f, bb[4] - bb[1]);
+    double dz = std::max(0.f, bb[5] - bb[2]);
+    return dx * dy + dy * dz + dz * dx;
+  }
+
+  int32_t collapse(int32_t bin_id) {
+    const std::vector<float>& bx = *bboxes;
+    const std::vector<int32_t>& ch = *bchildren;
+    Cand cs[4];
+    int nc = 0;
+    for (int side = 0; side < 2; ++side) {
+      cs[nc].entry = ch[2 * bin_id + side];
+      memcpy(cs[nc].bb, &bx[12 * bin_id + 6 * side], 6 * sizeof(float));
+      ++nc;
+    }
+    while (nc < 4) {
+      int pick = -1;
+      double best = -1;
+      for (int i = 0; i < nc; ++i) {
+        if (cs[i].entry & (1 << 23)) continue;  // leaf
+        double a = area6(cs[i].bb);
+        if (a > best) { best = a; pick = i; }
+      }
+      if (pick < 0) break;
+      int32_t inner = cs[pick].entry & 0x3FFFFF;
+      // replace picked with its left child; append right child
+      cs[pick].entry = ch[2 * inner];
+      memcpy(cs[pick].bb, &bx[12 * inner], 6 * sizeof(float));
+      cs[nc].entry = ch[2 * inner + 1];
+      memcpy(cs[nc].bb, &bx[12 * inner + 6], 6 * sizeof(float));
+      ++nc;
+    }
+    int32_t id = (int32_t)(nodes.size() / 32);
+    nodes.resize(nodes.size() + 32);
+    // recursion below grows `nodes` (invalidating pointers into it), so
+    // assemble the record locally and copy it in afterwards
+    float rec[32] = {0};
+    for (int i = 0; i < 4; ++i) {
+      float* bbout = rec + 6 * i;
+      int32_t e;
+      if (i < nc) {
+        memcpy(bbout, cs[i].bb, 6 * sizeof(float));
+        e = (cs[i].entry & (1 << 23)) ? cs[i].entry
+                                      : collapse(cs[i].entry & 0x3FFFFF);
+      } else {
+        bbout[0] = bbout[1] = bbout[2] = 1e30f;
+        bbout[3] = bbout[4] = bbout[5] = -1e30f;
+        e = -1;
+      }
+      // entries ride as exact f32 values (< 2^24), like the binary tables
+      rec[24 + i] = (float)e;
+    }
+    memcpy(&nodes[32 * id], rec, 32 * sizeof(float));
+    return id;
+  }
+};
+
+}  // namespace
+
+// Collapse an EXISTING binary tree (boxes m*12, children m*2, root 0) into
+// 4-wide records — used by the python side so the binary tree (consumed by
+// the wavefront oracle) and the 4-wide packet tables share one build.
+void rtrt_collapse4(const float* boxes, const int32_t* children, int64_t m,
+                    float** out_nodes /* q*32 */, int64_t* out_q) {
+  Collapse4 c;
+  std::vector<float> bv(boxes, boxes + m * 12);
+  std::vector<int32_t> cv(children, children + m * 2);
+  c.bboxes = &bv;
+  c.bchildren = &cv;
+  c.nodes.reserve(m * 32 / 2);
+  c.collapse(0);
+  int64_t q = (int64_t)(c.nodes.size() / 32);
+  *out_nodes = (float*)malloc(q * 32 * sizeof(float));
+  memcpy(*out_nodes, c.nodes.data(), q * 32 * sizeof(float));
+  *out_q = q;
+}
+
+void rtrt_build_sah4(const float* tris /* n*9 */, int64_t n,
+                     float** out_nodes /* q*32 */, int32_t** out_perm,
+                     int64_t* out_q) {
+  float* bboxes;
+  int32_t* bchildren;
+  int32_t* perm;
+  int64_t m;
+  rtrt_build_sah(tris, n, &bboxes, &bchildren, &perm, &m);
+  Collapse4 c;
+  std::vector<float> bv(bboxes, bboxes + m * 12);
+  std::vector<int32_t> cv(bchildren, bchildren + m * 2);
+  c.bboxes = &bv;
+  c.bchildren = &cv;
+  c.nodes.reserve(m * 32 / 2);
+  c.collapse(0);
+  free(bboxes);
+  free(bchildren);
+  int64_t q = (int64_t)(c.nodes.size() / 32);
+  *out_nodes = (float*)malloc(q * 32 * sizeof(float));
+  memcpy(*out_nodes, c.nodes.data(), q * 32 * sizeof(float));
+  *out_perm = perm;
+  *out_q = q;
+}
+
 }  // extern "C"
