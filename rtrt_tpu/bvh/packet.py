@@ -145,6 +145,13 @@ def pack_for_packets(bvh: SceneBvh, tri_nrm_t=None, tri_mat=None) -> PacketTable
             jnp.concatenate([attr_f, ng, mat_bits], axis=1), 16))
 
 
+def pack_nodes4(nodes4) -> jnp.ndarray:
+    """(q,32) 4-wide node records (bvh/sah.py::bvh4_nodes) -> (R,128)
+    packed table, 4 records per row — drop-in for PacketTables.nodes_f32
+    with traversal arity=4."""
+    return _pack_rows(jnp.asarray(nodes4), 32)
+
+
 def _rec_fetch(ref, i, stride, interpret):
     """Fetch packed record i from a (R,128) table: one dynamic sublane read
     + one lane rotate; returns the rotated (1,128) row whose first `stride`
@@ -657,7 +664,7 @@ def _kernel(nodes_f_ref, tris_ref, attr_f_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
             t_out, tri_out, u_out, v_out, mat_out,
             nsx_out, nsy_out, nsz_out, ngx_out, ngy_out, ngz_out,
-            *, tlas_internal, any_hit, max_steps, interpret=False):
+            *, tlas_internal, any_hit, max_steps, arity=2, interpret=False):
     step0 = pl.program_id(0) == 0  # (before run_scoped: interpret mode
     #                                loses the grid context inside it)
 
@@ -679,7 +686,7 @@ def _kernel(nodes_f_ref, tris_ref, attr_f_ref,
             stack_ref, tstack_ref, ox_ref[0], oy_ref[0], oz_ref[0],
             dx_ref[0], dy_ref[0], dz_ref[0], tmax_ref[0],
             tlas_internal=tlas_internal, any_hit=any_hit,
-            max_steps=max_steps, interpret=interpret)
+            max_steps=max_steps, arity=arity, interpret=interpret)
         t_out[0] = t
         tri_out[0] = tri
         u_out[0] = uo
@@ -715,7 +722,7 @@ class PacketHit(NamedTuple):
 
 def packet_intersect(tables: PacketTables, org, dir, t_max=None, *,
                      any_hit=False, max_steps=PACKET_MAX_STEPS,
-                     tlas_internal, interpret=False) -> PacketHit:
+                     tlas_internal, arity=2, interpret=False) -> PacketHit:
     """Trace (N,3) rays with the packet kernel.  Pads N up to a TILE
     multiple internally (pad rays carry t_max=0 and terminate instantly)."""
     n0 = org.shape[0]
@@ -739,7 +746,7 @@ def packet_intersect(tables: PacketTables, org, dir, t_max=None, *,
 
     kernel = functools.partial(_kernel, tlas_internal=tlas_internal,
                                any_hit=any_hit, max_steps=max_steps,
-                               interpret=interpret)
+                               arity=arity, interpret=interpret)
     grid = (nt,)
     ray_spec = pl.BlockSpec((1,) + TILE_SHAPE, lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)

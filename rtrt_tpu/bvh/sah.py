@@ -193,3 +193,84 @@ def build_scene_tables_sah(num_batches, indices, tri_mat, valid, verts, nrm):
         [nrm_np[sorted_idx3[:, 0]].T, nrm_np[sorted_idx3[:, 1]].T,
          nrm_np[sorted_idx3[:, 2]].T], axis=0)  # (9, T)
     return bvh, jnp.asarray(tri_nrm_t), jnp.asarray(sorted_mat)
+
+
+# ---------------------------------------------------------------------------
+# 4-wide collapse (packet-kernel tables)
+# ---------------------------------------------------------------------------
+
+
+def _collapse4_np(boxes, children):
+    """Numpy twin of rtrt_native.cpp::rtrt_collapse4 (greedy largest-area
+    inline of internal children until 4 per node).  boxes (m,12) f32,
+    children (m,2) i32 FLAT entries (no BLAS bits).  Returns (q,32) f32."""
+    def area(bb):
+        d = np.maximum(bb[3:6] - bb[0:3], 0.0)
+        return float(d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
+    new_id = {}
+    order = []
+    kids = {}
+    stack = [0]
+    while stack:
+        b = stack.pop()
+        new_id[b] = len(order)
+        order.append(b)
+        cs = [(int(children[b, 0]), boxes[b, 0:6]),
+              (int(children[b, 1]), boxes[b, 6:12])]
+        while len(cs) < 4:
+            pick, best = -1, -1.0
+            for i, (e, bb) in enumerate(cs):
+                if e & _LEAF_BIT:
+                    continue
+                a = area(bb)
+                if a > best:
+                    best, pick = a, i
+            if pick < 0:
+                break
+            inner = cs[pick][0] & 0x3FFFFF
+            cs[pick] = (int(children[inner, 0]), boxes[inner, 0:6])
+            cs.append((int(children[inner, 1]), boxes[inner, 6:12]))
+        kids[b] = cs
+        for e, _ in reversed(cs):
+            if not (e & _LEAF_BIT):
+                stack.append(e & 0x3FFFFF)
+
+    q = len(order)
+    nodes = np.zeros((q, 32), np.float32)
+    nodes[:, 0:24:6] = np.inf   # empty slots: inverted boxes
+    nodes[:, 1:24:6] = np.inf
+    nodes[:, 2:24:6] = np.inf
+    nodes[:, 3:24:6] = -np.inf
+    nodes[:, 4:24:6] = -np.inf
+    nodes[:, 5:24:6] = -np.inf
+    nodes[:, 24:28] = -1.0
+    for b in order:
+        i = new_id[b]
+        for s, (e, bb) in enumerate(kids[b]):
+            nodes[i, 6 * s:6 * s + 6] = bb
+            nodes[i, 24 + s] = float(e if (e & _LEAF_BIT)
+                                     else new_id[e & 0x3FFFFF])
+    return nodes
+
+
+def bvh4_nodes(bvh: SceneBvh) -> np.ndarray:
+    """Collapse a FLAT binary SceneBvh (from build_scene_bvh_sah — entries
+    must carry no BLAS bits) into 4-wide (q,32) records for the packet
+    kernel's arity-4 traversal.  Native when available."""
+    import ctypes
+
+    from ..content import native
+
+    boxes = np.ascontiguousarray(np.asarray(bvh.boxes_t).T, np.float32)
+    children = np.ascontiguousarray(np.asarray(bvh.children_t).T, np.int32)
+    lib = native._load()
+    if lib is None:
+        return _collapse4_np(boxes, children)
+    out = ctypes.POINTER(ctypes.c_float)()
+    q = ctypes.c_int64()
+    lib.rtrt_collapse4(
+        boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        children.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        boxes.shape[0], ctypes.byref(out), ctypes.byref(q))
+    return native._take_f32(lib, out, q.value * 32).reshape(q.value, 32)

@@ -151,10 +151,17 @@ class Engine:
                 # static scenes get the high-quality binned-SAH flat tree
                 # (host/native build, init-time only — bvh/sah.py): ~1.5-2x
                 # fewer node visits/ray than the per-frame morton LBVH
-                from ..bvh.sah import build_scene_tables_sah
-                self.prebuilt = build_scene_tables_sah(
+                from ..bvh.sah import build_scene_tables_sah, bvh4_nodes
+                bvh, nrm_t, mat_s = build_scene_tables_sah(
                     self.scene.num_batches, self.indices, self.tri_mat,
                     self.valid, self.state.vertices, self.state.normals)
+                nodes4 = None
+                if os.environ.get("RTRT_BVH4", "1") != "0":
+                    # 4-wide collapse: one record fetch serves two binary
+                    # levels — halves packet-traversal steps
+                    from ..bvh.packet import pack_nodes4
+                    nodes4 = pack_nodes4(bvh4_nodes(bvh))
+                self.prebuilt = (bvh, nrm_t, mat_s, nodes4)
             else:
                 from .frame import build_scene_tables
                 build = jax.jit(build_scene_tables, static_argnums=0)

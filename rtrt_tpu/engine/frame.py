@@ -161,8 +161,11 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
     frame_idx = state.frame_idx
 
     # ---- geometry gather + two-level LBVH rebuild (bvh.cu:7-97 analog) ----
+    nodes4 = None
     if prebuilt is not None and static.animation == "none":
-        bvh, tri_nrm_t, sorted_mat = prebuilt
+        bvh, tri_nrm_t, sorted_mat = prebuilt[:3]
+        if len(prebuilt) > 3:
+            nodes4 = prebuilt[3]  # packed 4-wide SAH table (or None)
     else:
         verts = state.vertices
         nrm = state.normals
@@ -185,6 +188,7 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
         sky=sky,
         textures=textures,
         lights=lights,
+        nodes4=nodes4,
     )
 
     # ---- raygen (1 spp), padded once to the packet tile multiple ----

@@ -68,6 +68,11 @@ class SceneData(NamedTuple):
     sky: SkyMaps
     textures: SoilTextures
     lights: SphereLights | None = None  # analytic local lights (or None)
+    nodes4: jnp.ndarray | None = None   # packed 4-wide node table
+    #                                     (bvh/sah.py::bvh4_nodes via
+    #                                     packet.pack_nodes4) — static
+    #                                     scenes only; switches the packet
+    #                                     kernel to arity-4 traversal
 
 
 class GBuffer(NamedTuple):
@@ -233,7 +238,7 @@ def _segment(scene: SceneData, s, pixel_ids, frame_idx, seg, max_steps,
     if tables is not None:
         ph: PacketHit = packet_intersect(
             tables, s["org"], s["dir"], t_max,
-            tlas_internal=scene.bvh.tlas_internal)
+            tlas_internal=max(0, scene.bvh.tlas_internal))
         hit = Hit(ph.t, ph.tri, ph.u, ph.v)
     else:
         ph = None

@@ -177,3 +177,52 @@ def test_sah_tables_match_engine_contract(rng):
     expect = nrm[indices[sort_idx[:100], 0]].T
     np.testing.assert_allclose(np.asarray(tri_nrm_t)[0:3, :100], expect,
                                rtol=1e-6)
+
+
+def test_sah4_packet_kernel_interpret(rng):
+    """Arity-4 packet traversal over the collapsed SAH tree matches the
+    wavefront traverser on the binary tree (same leaves, same geometry)."""
+    from rtrt_tpu.bvh.packet import (PacketTables, pack_for_packets,
+                                     pack_nodes4, packet_intersect)
+    from rtrt_tpu.bvh.sah import _collapse4_np, bvh4_nodes
+
+    v0, v1, v2 = _random_tri_soup(rng, 300, spread=6.0)
+    bv0, bv1, bv2, valid = _pad_batches(v0, v1, v2, 2)
+    bvh = build_scene_bvh_sah(bv0, bv1, bv2, valid)
+    nodes4 = bvh4_nodes(bvh)
+    # native and numpy collapses agree on tree structure quality: both are
+    # valid 4-ary trees covering every leaf once
+    np4 = _collapse4_np(np.asarray(bvh.boxes_t).T.copy(),
+                        np.asarray(bvh.children_t).T.copy())
+    for arr in (nodes4, np4):
+        seen = np.zeros(300, np.int32)
+        stack = [0]
+        while stack:
+            rec = arr[stack.pop()]
+            for k in range(4):
+                e = int(rec[24 + k])
+                if e < 0:
+                    continue
+                if e & _LEAF:
+                    slot = ((e >> 11) & 0x7FF) * 1024 + (e & 0x7FF)
+                    seen[slot] += 1
+                else:
+                    stack.append(e & 0x3FFFFF)
+        assert (seen == 1).all()
+
+    tables = pack_for_packets(bvh)._replace(nodes_f32=pack_nodes4(nodes4))
+
+    nrays = 128
+    org = jnp.asarray(rng.uniform(-12, 12, (nrays, 3)).astype(np.float32))
+    dirs = jnp.asarray(_normalize(
+        rng.normal(size=(nrays, 3)).astype(np.float32)))
+
+    ph = packet_intersect(tables, org, dirs, tlas_internal=0, arity=4,
+                          interpret=True, max_steps=16384)
+    wh = intersect_scene(bvh, org, dirs, max_steps=16384)
+    pt, wt = np.asarray(ph.t), np.asarray(wh.t)
+    both = np.isfinite(pt) & np.isfinite(wt)
+    same_miss = ~np.isfinite(pt) & ~np.isfinite(wt)
+    assert (both | same_miss).all()
+    np.testing.assert_allclose(pt[both], wt[both], rtol=1e-4, atol=1e-4)
+    assert (np.asarray(ph.tri) == np.asarray(wh.tri))[both].mean() > 0.99
