@@ -185,7 +185,7 @@ def _ls(row, k):
 def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
                   stack_ref, tstack_ref, ox, oy, oz, dx, dy, dz, t_cap, *,
                   tlas_internal, any_hit, max_steps, first_hit=None,
-                  lean=False, arity=2, interpret=False):
+                  lean=False, arity=2, leaf_width=1, interpret=False):
     """Shared-stack packet traversal over one ray tile — pure kernel code,
     reusable from other Pallas kernels (the path-trace megakernel calls this
     once per bounce segment with the stack scratch it owns).
@@ -267,9 +267,12 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
         hit = (tn <= tf) & (tf > RAY_TMIN) & (tn < best)
         return hit, tn
 
-    def tri_hit(v, best):
+    def tri_hit(v, best, off=0):
         """v: fetched (1,128) record; vectorized watertight over the tile
-        (vertex lanes ride as (1,1) broadcasts — no scalar extracts)."""
+        (vertex lanes ride as (1,1) broadcasts — no scalar extracts).
+        off: lane offset of the record inside the row (row-aligned
+        multi-triangle leaves read ONE row and test its 8 records at
+        static offsets 16k — no per-record fetch machinery)."""
         def prep(c0, c1, c2):
             px = c0 - ox
             py = c1 - oy
@@ -277,9 +280,9 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
             return (sel(kx, px, py, pz), sel(ky, px, py, pz),
                     sel(kz, px, py, pz))
 
-        axx, axy, axz = prep(_lv(v, 0), _lv(v, 1), _lv(v, 2))
-        bxx, bxy, bxz = prep(_lv(v, 3), _lv(v, 4), _lv(v, 5))
-        cxx, cxy, cxz = prep(_lv(v, 6), _lv(v, 7), _lv(v, 8))
+        axx, axy, axz = prep(_lv(v, off + 0), _lv(v, off + 1), _lv(v, off + 2))
+        bxx, bxy, bxz = prep(_lv(v, off + 3), _lv(v, off + 4), _lv(v, off + 5))
+        cxx, cxy, cxz = prep(_lv(v, off + 6), _lv(v, off + 7), _lv(v, off + 8))
         aex = axx - sx * axz
         aey = axy - sy * axz
         bex = bxx - sx * bxz
@@ -356,21 +359,29 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
             leafv, bound = args[-2:]
             base = ((e >> _BATCH_SHIFT) & _BATCH_MASK) * BATCH_SIZE \
                 + (e & _IDX_MASK) * GROUP
-            # test the leaf's GROUP morton-adjacent triangles and reduce
-            # to a per-lane best-of-group FIRST — the carry planes and the
-            # prune bound are then updated once per leaf visit, not once
-            # per triangle (tri tests are pure vector work; bound updates
-            # are scalar syncs)
+            # test the leaf's triangles and reduce to a per-lane
+            # best-of-group FIRST — the carry planes and the prune bound
+            # are then updated once per leaf visit, not once per triangle
+            # (tri tests are pure vector work; bound updates are scalar
+            # syncs).  Row-aligned leaves (leaf_width == 8, flat SAH trees
+            # built with leaf_max=8) read the WHOLE leaf with one static
+            # row slice — no per-record dynamic fetch/rotate — and test
+            # its 8 records at static lane offsets; short leaves carry
+            # duplicates of their first triangle (harmless real geometry).
+            if leaf_width > 1:
+                assert leaf_width == 128 // 16 and GROUP == 1
+                v8 = tris_ref[pl.ds(base // leaf_width, 1), :]
+                recs = [(base + k, v8, 16 * k) for k in range(leaf_width)]
+            else:
+                recs = [(base + k,
+                         _rec_fetch(tris_ref, base + k, 16, interpret), 0)
+                        for k in range(GROUP)]
             gt = jnp.full(shape, jnp.inf, jnp.float32)
             gtri = jnp.zeros(shape, jnp.int32)
             gu = zf()
             gv = zf()
-            vs = []
-            for k in range(GROUP):
-                t_idx = base + k
-                v = _rec_fetch(tris_ref, t_idx, 16, interpret)
-                vs.append((t_idx, v))
-                ok, tt, tu, tv = tri_hit(v, best_t)
+            for t_idx, v, off in recs:
+                ok, tt, tu, tv = tri_hit(v, best_t, off)
                 gb = ok & (tt < gt)
                 gt = jnp.where(gb, tt, gt)
                 gtri = jnp.where(gb, t_idx, gtri)
@@ -392,27 +403,33 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
                    jnp.where(better, gv, vo))
             if not lean:
                 mat, nsx, nsy, nsz, ngx, ngy, ngz = args[4:11]
-                for t_idx, v in vs:
+                if leaf_width > 1:
+                    a8 = attr_f_ref[pl.ds(base // leaf_width, 1), :]
+                for t_idx, _, off in recs:
                     m = better & (gtri == t_idx)
                     # one attr fetch: shading normals, precomputed
                     # geometric normal, material bits
-                    a = _rec_fetch(attr_f_ref, t_idx, 16, interpret)
-                    am = _lv(a, 12).astype(jnp.int32)
+                    a = a8 if leaf_width > 1 \
+                        else _rec_fetch(attr_f_ref, t_idx, 16, interpret)
+                    am = _lv(a, off + 12).astype(jnp.int32)
                     # interpolated shading normal (rows x bary)
                     tw = 1.0 - gu - gv
-                    inx = tw * _lv(a, 0) + gu * _lv(a, 3) + gv * _lv(a, 6)
-                    iny = tw * _lv(a, 1) + gu * _lv(a, 4) + gv * _lv(a, 7)
-                    inz = tw * _lv(a, 2) + gu * _lv(a, 5) + gv * _lv(a, 8)
+                    inx = tw * _lv(a, off + 0) + gu * _lv(a, off + 3) \
+                        + gv * _lv(a, off + 6)
+                    iny = tw * _lv(a, off + 1) + gu * _lv(a, off + 4) \
+                        + gv * _lv(a, off + 7)
+                    inz = tw * _lv(a, off + 2) + gu * _lv(a, off + 5) \
+                        + gv * _lv(a, off + 8)
                     mat = jnp.where(m, am, mat)
                     nsx = jnp.where(m, inx, nsx)
                     nsy = jnp.where(m, iny, nsy)
                     nsz = jnp.where(m, inz, nsz)
-                    ngx = jnp.where(m, _lv(a, 9), ngx)
-                    ngy = jnp.where(m, _lv(a, 10), ngy)
-                    ngz = jnp.where(m, _lv(a, 11), ngz)
+                    ngx = jnp.where(m, _lv(a, off + 9), ngx)
+                    ngy = jnp.where(m, _lv(a, off + 10), ngy)
+                    ngz = jnp.where(m, _lv(a, off + 11), ngz)
                 out = out + (mat, nsx, nsy, nsz, ngx, ngy, ngz)
             # prune bound tightens as lanes accept hits
-            return out + (leafv + GROUP, jnp.max(new_best))
+            return out + (leafv + len(recs), jnp.max(new_best))
 
         # lax.cond keeps the leaf work off the pure-internal steps
         return jax.lax.cond(do, yes, lambda a: a, carry)
@@ -664,7 +681,8 @@ def _kernel(nodes_f_ref, tris_ref, attr_f_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
             t_out, tri_out, u_out, v_out, mat_out,
             nsx_out, nsy_out, nsz_out, ngx_out, ngy_out, ngz_out,
-            *, tlas_internal, any_hit, max_steps, arity=2, interpret=False):
+            *, tlas_internal, any_hit, max_steps, arity=2, leaf_width=1,
+            interpret=False):
     step0 = pl.program_id(0) == 0  # (before run_scoped: interpret mode
     #                                loses the grid context inside it)
 
@@ -686,7 +704,8 @@ def _kernel(nodes_f_ref, tris_ref, attr_f_ref,
             stack_ref, tstack_ref, ox_ref[0], oy_ref[0], oz_ref[0],
             dx_ref[0], dy_ref[0], dz_ref[0], tmax_ref[0],
             tlas_internal=tlas_internal, any_hit=any_hit,
-            max_steps=max_steps, arity=arity, interpret=interpret)
+            max_steps=max_steps, arity=arity, leaf_width=leaf_width,
+            interpret=interpret)
         t_out[0] = t
         tri_out[0] = tri
         u_out[0] = uo
@@ -722,7 +741,8 @@ class PacketHit(NamedTuple):
 
 def packet_intersect(tables: PacketTables, org, dir, t_max=None, *,
                      any_hit=False, max_steps=PACKET_MAX_STEPS,
-                     tlas_internal, arity=2, interpret=False) -> PacketHit:
+                     tlas_internal, arity=2, leaf_width=1,
+                     interpret=False) -> PacketHit:
     """Trace (N,3) rays with the packet kernel.  Pads N up to a TILE
     multiple internally (pad rays carry t_max=0 and terminate instantly)."""
     n0 = org.shape[0]
@@ -746,7 +766,8 @@ def packet_intersect(tables: PacketTables, org, dir, t_max=None, *,
 
     kernel = functools.partial(_kernel, tlas_internal=tlas_internal,
                                any_hit=any_hit, max_steps=max_steps,
-                               arity=arity, interpret=interpret)
+                               arity=arity, leaf_width=leaf_width,
+                               interpret=interpret)
     grid = (nt,)
     ray_spec = pl.BlockSpec((1,) + TILE_SHAPE, lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)

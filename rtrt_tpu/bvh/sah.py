@@ -125,12 +125,107 @@ def _sah_fallback(tris: np.ndarray):
     return boxes, children, order
 
 
-def build_scene_bvh_sah(v0, v1, v2, valid) -> SceneBvh:
+def _collapse_leaves(boxes, children, leaf_max=8):
+    """Collapse maximal subtrees of <= leaf_max triangles into row-aligned
+    multi-triangle leaves (the packet kernel tests a whole leaf from ONE
+    row fetch — per-visit cost is nearly flat in triangle count, so any
+    subtree that fits a leaf should BE a leaf).
+
+    boxes (m,12) f32 / children (m,2) i32: flat binary tree with 1-tri
+    leaves whose entries encode the slot (= preorder range position).
+    Returns (new_boxes, new_children, slot_map) where leaf entries encode
+    padded slot bases (multiples of leaf_max) and slot_map (P,) i32 maps
+    each padded slot to its source slot in the builder's sorted order
+    (leaves shorter than leaf_max pad with DUPLICATES of their first
+    triangle — real geometry, so no special-casing anywhere downstream).
+    """
+    m = boxes.shape[0]
+    # triangle count per internal node: children always have larger
+    # preorder ids than their parent, so one reverse pass suffices
+    is_leaf = (children & _LEAF_BIT) != 0
+    inner = children & 0x3FFFFF
+    cnt = np.zeros(m, np.int64)
+    for i in range(m - 1, -1, -1):
+        cnt[i] = ((1 if is_leaf[i, 0] else cnt[inner[i, 0]])
+                  + (1 if is_leaf[i, 1] else cnt[inner[i, 1]]))
+
+    def slot_of(e):
+        return ((e >> 11) & 0x7FF) * 1024 + (e & 0x7FF)
+
+    def leaf_entry(slot):
+        return np.int32(_LEAF_BIT | ((slot // 1024) << 11) | (slot % 1024))
+
+    # DFS over KEPT nodes (cnt > leaf_max; the root is always kept so the
+    # kernel can start at node 0).  A child subtree with cnt <= leaf_max
+    # becomes one leaf over its contiguous slot range [lo, lo+cnt).
+    new_id = {0: 0}
+    order = [0]
+    leaf_lo = []   # per new leaf: (source slot base, count)
+    stack = [0]
+    while stack:
+        b = stack.pop()
+        for s in (0, 1):
+            e = int(children[b, s])
+            if not is_leaf[b, s] and cnt[inner[b, s]] > leaf_max:
+                c = inner[b, s]
+                if c not in new_id:
+                    new_id[c] = len(order)
+                    order.append(c)
+                    stack.append(c)
+    # subtree slot base: root covers [0, n); left child inherits lo, right
+    # child gets lo + cnt(left).  Original leaves carry their slot in the
+    # entry, so lo of an internal child = min slot in its subtree — walk
+    # once more computing lo for every node top-down.
+    lo = np.zeros(m, np.int64)
+    stack = [0]
+    while stack:
+        b = stack.pop()
+        lcnt = 1 if is_leaf[b, 0] else cnt[inner[b, 0]]
+        if not is_leaf[b, 0]:
+            lo[inner[b, 0]] = lo[b]
+            stack.append(inner[b, 0])
+        if not is_leaf[b, 1]:
+            lo[inner[b, 1]] = lo[b] + lcnt
+            stack.append(inner[b, 1])
+
+    q = len(order)
+    new_boxes = np.zeros((q, 12), np.float32)
+    new_children = np.zeros((q, 2), np.int32)
+    for b in order:
+        i = new_id[b]
+        new_boxes[i] = boxes[b]
+        for s in (0, 1):
+            e = int(children[b, s])
+            if is_leaf[b, s]:
+                src, c = slot_of(e), 1
+            elif cnt[inner[b, s]] <= leaf_max:
+                src, c = int(lo[inner[b, s]]), int(cnt[inner[b, s]])
+            else:
+                new_children[i, s] = new_id[inner[b, s]]
+                continue
+            base = len(leaf_lo) * leaf_max
+            leaf_lo.append((src, c))
+            new_children[i, s] = leaf_entry(base)
+
+    p = len(leaf_lo) * leaf_max
+    slot_map = np.zeros(p, np.int32)
+    for li, (src, c) in enumerate(leaf_lo):
+        base = li * leaf_max
+        slot_map[base:base + leaf_max] = src  # pad slots duplicate tri 0
+        slot_map[base:base + c] = np.arange(src, src + c, dtype=np.int32)
+    return new_boxes, new_children, slot_map
+
+
+def build_scene_bvh_sah(v0, v1, v2, valid, leaf_max=1) -> SceneBvh:
     """Flat SAH SceneBvh over padded (B, 1024, 3) triangle arrays.
 
     Host-side (numpy in, jnp out) — init-time only.  Padding slots sort to
     the end as degenerate triangles (never hit); the node table covers the
     valid triangles only.
+
+    leaf_max > 1 collapses subtrees of <= leaf_max triangles into single
+    row-aligned leaves (see _collapse_leaves); the traversal must then run
+    with the matching static leaf_width.
     """
     import jax.numpy as jnp
 
@@ -153,6 +248,14 @@ def build_scene_bvh_sah(v0, v1, v2, valid) -> SceneBvh:
         out = _sah_fallback(soup)
     boxes, children, perm = out
 
+    if leaf_max > 1:
+        boxes, children, slot_map = _collapse_leaves(boxes, children,
+                                                     leaf_max)
+        perm = perm[slot_map]          # padded slot -> original soup row
+        nv = int(perm.size)
+        assert nv <= 2 ** 21, nv
+        t_total = -(-nv // BATCH_SIZE) * BATCH_SIZE
+
     # sorted triangle tables: valid tris in leaf order, padding after
     sorted_tri_index = np.zeros(t_total, np.int32)
     sorted_tri_index[:nv] = vidx[perm]
@@ -172,7 +275,8 @@ def build_scene_bvh_sah(v0, v1, v2, valid) -> SceneBvh:
     )
 
 
-def build_scene_tables_sah(num_batches, indices, tri_mat, valid, verts, nrm):
+def build_scene_tables_sah(num_batches, indices, tri_mat, valid, verts, nrm,
+                           leaf_max=1):
     """Host-side twin of engine.frame.build_scene_tables for static scenes:
     SAH tree + sorted per-triangle attribute tables (normals, materials)."""
     import jax.numpy as jnp
@@ -184,7 +288,7 @@ def build_scene_tables_sah(num_batches, indices, tri_mat, valid, verts, nrm):
     tv0 = verts_np[indices[:, 0]].reshape(b, BATCH_SIZE, 3)
     tv1 = verts_np[indices[:, 1]].reshape(b, BATCH_SIZE, 3)
     tv2 = verts_np[indices[:, 2]].reshape(b, BATCH_SIZE, 3)
-    bvh = build_scene_bvh_sah(tv0, tv1, tv2, valid)
+    bvh = build_scene_bvh_sah(tv0, tv1, tv2, valid, leaf_max=leaf_max)
 
     sort_idx = np.asarray(bvh.sorted_tri_index)
     sorted_idx3 = indices[sort_idx]  # (T,3) vertex ids in leaf order

@@ -65,7 +65,7 @@ TRAVERSAL_CHUNK = 32768
 
 
 def intersect_scene(bvh: SceneBvh, org, dir, t_max=None, *, any_hit=False,
-                    max_steps=MAX_TRAVERSAL_STEPS) -> Hit:
+                    leaf_width=1, max_steps=MAX_TRAVERSAL_STEPS) -> Hit:
     """Trace rays against the scene.  org/dir: (N,3); t_max: (N,) or None.
 
     With any_hit=True the loop terminates a lane at its first accepted hit
@@ -75,7 +75,8 @@ def intersect_scene(bvh: SceneBvh, org, dir, t_max=None, *, any_hit=False,
     if t_max is None:
         t_max = jnp.full((n,), jnp.inf, jnp.float32)
     if n <= TRAVERSAL_CHUNK:
-        return _intersect_chunk(bvh, org, dir, t_max, any_hit, max_steps)
+        return _intersect_chunk(bvh, org, dir, t_max, any_hit, max_steps,
+                                leaf_width)
 
     c = TRAVERSAL_CHUNK
     pad = (-n) % c
@@ -89,13 +90,14 @@ def intersect_scene(bvh: SceneBvh, org, dir, t_max=None, *, any_hit=False,
     # 13x slower — the scan body loses VMEM residency of the loop state)
     parts = [_intersect_chunk(bvh, org[i * c:(i + 1) * c],
                               dir[i * c:(i + 1) * c],
-                              t_max[i * c:(i + 1) * c], any_hit, max_steps)
+                              t_max[i * c:(i + 1) * c], any_hit, max_steps,
+                              leaf_width)
              for i in range(nc)]
     return Hit(*(jnp.concatenate(f)[:n] for f in zip(*parts)))
 
 
 def _intersect_chunk(bvh: SceneBvh, org, dir, t_max, any_hit,
-                     max_steps) -> Hit:
+                     max_steps, leaf_width=1) -> Hit:
     """One VMEM-resident traversal chunk.
 
     PERF NOTE: the loop body is fully SCALARIZED — every quantity is an (N,)
@@ -225,7 +227,9 @@ def _intersect_chunk(bvh: SceneBvh, org, dir, t_max, any_hit,
             do = chit & cleaf
             tri_base = entry_batch(child) * BATCH_SIZE \
                 + entry_idx(child) * GROUP
-            for k in range(GROUP):
+            # row-aligned multi-tri leaves (flat SAH leaf_max>1 trees);
+            # pad slots duplicate the leaf's first triangle — harmless
+            for k in range(max(leaf_width, GROUP)):
                 tri_idx = tri_base + k
                 g = jnp.where(do, tri_idx, 0)
                 tc = [bvh.tris_t[c][g] for c in range(9)]  # component gathers

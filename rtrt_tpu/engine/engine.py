@@ -152,9 +152,14 @@ class Engine:
                 # (host/native build, init-time only — bvh/sah.py): ~1.5-2x
                 # fewer node visits/ray than the per-frame morton LBVH
                 from ..bvh.sah import build_scene_tables_sah, bvh4_nodes
+                # row-aligned 8-tri leaves: one packet-kernel row fetch
+                # tests a whole leaf, and the tree shrinks ~6x
+                self._sah_leaf = 8 \
+                    if os.environ.get("RTRT_LEAF8", "1") != "0" else 1
                 bvh, nrm_t, mat_s = build_scene_tables_sah(
                     self.scene.num_batches, self.indices, self.tri_mat,
-                    self.valid, self.state.vertices, self.state.normals)
+                    self.valid, self.state.vertices, self.state.normals,
+                    leaf_max=self._sah_leaf)
                 nodes4 = None
                 if os.environ.get("RTRT_BVH4", "1") != "0":
                     # 4-wide collapse: one record fetch serves two binary
@@ -200,6 +205,7 @@ class Engine:
             use_megakernel=(_tpu_available() and packets_fit
                             and os.environ.get("RTRT_MEGAKERNEL", "1") != "0"),
             bounce_subtile=int(os.environ.get("RTRT_BOUNCE_SUBTILE", "0")),
+            sah_leaf=getattr(self, "_sah_leaf", 1),
             animation=self.animation)
 
     def _set_bucket(self, bucket_h: int):

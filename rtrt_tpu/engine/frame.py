@@ -74,6 +74,9 @@ class FrameStatic(NamedTuple):
     #   work on direction-incoherent bounce rays; 0 = whole-tile unions
     pallas_interpret: bool = False  # run Pallas kernels in interpret mode
     #   (CPU validation of kernel paths, e.g. the sharded megakernel test)
+    sah_leaf: int = 1         # leaf width of the prebuilt flat SAH tree
+    #   (8 = row-aligned multi-tri leaves, bvh/sah.py::_collapse_leaves);
+    #   only consulted when the static-scene prebuilt tables are in use
     animation: str = "none"   # none | wave — in-jit vertex displacement
     stop_after: str = "full"  # full | bvh | trace | denoise — profiling
     #   harness cut points: the frame program ends after the named stage so
@@ -162,7 +165,9 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
 
     # ---- geometry gather + two-level LBVH rebuild (bvh.cu:7-97 analog) ----
     nodes4 = None
+    leaf_width = 1
     if prebuilt is not None and static.animation == "none":
+        leaf_width = static.sah_leaf
         bvh, tri_nrm_t, sorted_mat = prebuilt[:3]
         if len(prebuilt) > 3:
             nodes4 = prebuilt[3]  # packed 4-wide SAH table (or None)
@@ -259,13 +264,13 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
             steps = path_trace_mega(
                 scene, rays, pixel_ids, frame_idx, prev_basis, w / h,
                 use_proctex=static.flags.procedural_textures, bn=bn,
-                subtile_rows=static.bounce_subtile,
+                subtile_rows=static.bounce_subtile, leaf_width=leaf_width,
                 interpret=static.pallas_interpret, debug_steps=True)
             return (steps[:, :h, :w],), state
         gbuf: GBuffer = path_trace_mega(
             scene, rays, pixel_ids, frame_idx, prev_basis, w / h,
             use_proctex=static.flags.procedural_textures, bn=bn,
-            subtile_rows=static.bounce_subtile,
+            subtile_rows=static.bounce_subtile, leaf_width=leaf_width,
             interpret=static.pallas_interpret, env_fn=env_fn,
             mesh=trace_mesh)
         crop = lambda x: x[:h, :w]
@@ -275,7 +280,7 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
             w / h, max_steps=static.max_traversal_steps,
             use_packets=static.use_packets,
             use_proctex=static.flags.procedural_textures, bn=bn,
-            env_fn=env_fn)
+            env_fn=env_fn, leaf_width=leaf_width)
         crop = lambda x: x[:n_pix].reshape((h, w) + x.shape[1:])
 
     # live NaN guards in the hot path under RTRT_DEBUG=1 (the reference

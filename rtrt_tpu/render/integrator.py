@@ -163,7 +163,8 @@ def _material_at(scene: SceneData, mat, pos, ns, cone_width,
 def path_trace(scene: SceneData, rays: Rays, pixel_ids, frame_idx,
                prev_basis: CameraBasis, aspect,
                max_steps: int = 1024, use_packets: bool = True,
-               use_proctex: bool = True, bn=None, env_fn=None) -> GBuffer:
+               use_proctex: bool = True, bn=None, env_fn=None,
+               leaf_width: int = 1) -> GBuffer:
     """Trace the full bounce program for all rays; returns the G-buffer.
 
     bn: optional (N,2) blue-noise CP offsets (sampling.blue_offsets_flat) —
@@ -206,7 +207,8 @@ def path_trace(scene: SceneData, rays: Rays, pixel_ids, frame_idx,
     for seg in range(SEGMENTS):
         state = _segment(scene, state, pixel_ids, frame_idx, seg, max_steps,
                          is_last=(seg == SEGMENTS - 1), tables=tables,
-                         use_proctex=use_proctex, bn=bn)
+                         use_proctex=use_proctex, bn=bn,
+                         leaf_width=leaf_width)
 
     # ---- deferred environment resolve: ONE analytic eval for all lanes ----
     env = (env_fn(rays.org, state["esc_dir"]) if env_fn is not None
@@ -231,19 +233,20 @@ def path_trace(scene: SceneData, rays: Rays, pixel_ids, frame_idx,
 
 
 def _segment(scene: SceneData, s, pixel_ids, frame_idx, seg, max_steps,
-             is_last, tables=None, use_proctex=True, bn=None):
+             is_last, tables=None, use_proctex=True, bn=None, leaf_width=1):
     active = ~s["done"]
     t_max = jnp.where(s["done"], 0.0,
                       jnp.where(s["is_shadow"], s["shadow_tmax"], jnp.inf))
     if tables is not None:
         ph: PacketHit = packet_intersect(
             tables, s["org"], s["dir"], t_max,
-            tlas_internal=max(0, scene.bvh.tlas_internal))
+            tlas_internal=max(0, scene.bvh.tlas_internal),
+            leaf_width=leaf_width)
         hit = Hit(ph.t, ph.tri, ph.u, ph.v)
     else:
         ph = None
         hit = intersect_scene(scene.bvh, s["org"], s["dir"], t_max,
-                              max_steps=max_steps)
+                              max_steps=max_steps, leaf_width=leaf_width)
     found = (hit.tri >= 0) & active
 
     # ---------------- shadow-ray resolution ----------------

@@ -326,7 +326,7 @@ def _mega_kernel(sun_ref, frame_ref,
                  tdma_sem, *sub_refs,
                  tlas_internal, n_materials, n_lights, segments,
                  max_steps, use_proctex, use_bn, img_mode, subtile_rows=0,
-                 arity=2, debug_steps=False, interpret=False):
+                 arity=2, leaf_width=1, debug_steps=False, interpret=False):
     # --- stage the BVH/attribute tables into VMEM ONCE (grid step 0) ---
     # As pipelined VMEM inputs, Mosaic re-copied the whole table set from
     # HBM on EVERY grid step (~2 s/frame at 1080p when the tables are
@@ -385,7 +385,8 @@ def _mega_kernel(sun_ref, frame_ref,
             stack_ref, tstack_ref, org.x, org.y, org.z,
             dir.x, dir.y, dir.z, t_cap,
             tlas_internal=tlas_internal, any_hit=False, max_steps=max_steps,
-            first_hit=fh, lean=_lean, arity=arity, interpret=interpret)
+            first_hit=fh, lean=_lean, arity=arity, leaf_width=leaf_width,
+            interpret=interpret)
 
     def traverse_split(org, dir, t_cap, fh):
         """Two class-separated traversals per bounce segment: shadow lanes
@@ -399,13 +400,15 @@ def _mega_kernel(sun_ref, frame_ref,
             stack_ref, tstack_ref, org.x, org.y, org.z,
             dir.x, dir.y, dir.z, cap_sh,
             tlas_internal=tlas_internal, any_hit=True, max_steps=max_steps,
-            first_hit=fh, lean=True, arity=arity, interpret=interpret)
+            first_hit=fh, lean=True, arity=arity, leaf_width=leaf_width,
+            interpret=interpret)
         h_sc = traverse_tile(
             nodes_f_ref, tris_ref, attr_f_ref,
             stack_ref, tstack_ref, org.x, org.y, org.z,
             dir.x, dir.y, dir.z, cap_sc,
             tlas_internal=tlas_internal, any_hit=False, max_steps=max_steps,
-            first_hit=None, lean=_lean, arity=arity, interpret=interpret)
+            first_hit=None, lean=_lean, arity=arity, leaf_width=leaf_width,
+            interpret=interpret)
         # merge: shadow lanes only consume (t, tri) — occlusion flag
         merged = [jnp.where(fh, h_sh[0], h_sc[0]),
                   jnp.where(fh, h_sh[1], h_sc[1])]
@@ -443,7 +446,8 @@ def _mega_kernel(sun_ref, frame_ref,
                     stack_ref, tstack_ref, *comp[:7],
                     tlas_internal=tlas_internal, any_hit=False,
                     max_steps=max_steps, first_hit=comp[7] > 0.0,
-                    lean=_lean, arity=arity, interpret=interpret)
+                    lean=_lean, arity=arity, leaf_width=leaf_width,
+                    interpret=interpret)
 
             def no_trace(_):
                 shp = (sub, tw)
@@ -566,7 +570,8 @@ def megakernel_trace(tables: PacketTables, mat_rows, light_rows, sun_vec,
                      tlas_internal, n_materials, n_lights,
                      segments=SEGMENTS, max_steps=PACKET_MAX_STEPS,
                      use_proctex=True, bn=None, subtile_rows=0, arity=2,
-                     debug_steps=False, interpret=False) -> MegaOut:
+                     leaf_width=1, debug_steps=False,
+                     interpret=False) -> MegaOut:
     """Trace full paths for (N,3) primary rays in one Pallas launch.
 
     Pads N to a TILE multiple internally (pad lanes duplicate ray 0 and are
@@ -640,8 +645,8 @@ def megakernel_trace(tables: PacketTables, mat_rows, light_rows, sun_vec,
         _mega_kernel, tlas_internal=tlas_internal, n_materials=n_materials,
         n_lights=n_lights, segments=segments, max_steps=max_steps,
         use_proctex=use_proctex, use_bn=use_bn, img_mode=img_mode,
-        subtile_rows=subtile_rows, arity=arity, debug_steps=debug_steps,
-        interpret=interpret)
+        subtile_rows=subtile_rows, arity=arity, leaf_width=leaf_width,
+        debug_steps=debug_steps, interpret=interpret)
 
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     # big tables: ANY (HBM) inputs, staged into VMEM scratch once at grid
@@ -842,7 +847,8 @@ def _megakernel_trace_sharded(mesh, tables, mat_rows, light_rows, sun_vec,
 def path_trace_mega(scene, rays, pixel_ids, frame_idx, prev_basis, aspect,
                     max_steps: int = PACKET_MAX_STEPS, use_proctex: bool = True,
                     bn=None, subtile_rows: int = 0, interpret: bool = False,
-                    env_fn=None, debug_steps: bool = False, mesh=None):
+                    env_fn=None, debug_steps: bool = False, mesh=None,
+                    leaf_width: int = 1):
     """Drop-in replacement for integrator.path_trace using the megakernel.
 
     debug_steps=True returns a (SEGMENTS+1, ...) per-pixel traversal
@@ -871,8 +877,8 @@ def path_trace_mega(scene, rays, pixel_ids, frame_idx, prev_basis, aspect,
     kw = dict(tlas_internal=max(0, scene.bvh.tlas_internal),
               n_materials=mat_rows.shape[0], n_lights=n_lights,
               max_steps=max_steps, use_proctex=use_proctex,
-              subtile_rows=subtile_rows, arity=arity, interpret=interpret,
-              debug_steps=debug_steps)
+              subtile_rows=subtile_rows, arity=arity, leaf_width=leaf_width,
+              interpret=interpret, debug_steps=debug_steps)
     if mesh is not None:
         out = _megakernel_trace_sharded(mesh, tables, mat_rows, light_rows,
                                         sun_vec, frame_idx, rays, pixel_ids,

@@ -226,3 +226,45 @@ def test_sah4_packet_kernel_interpret(rng):
     assert (both | same_miss).all()
     np.testing.assert_allclose(pt[both], wt[both], rtol=1e-4, atol=1e-4)
     assert (np.asarray(ph.tri) == np.asarray(wh.tri))[both].mean() > 0.99
+
+
+def test_sah_leaf8_all_traversals(rng):
+    """Row-aligned 8-tri leaves (leaf_max=8): wavefront, packet and
+    packet-arity4 traversals all match brute force over the original soup.
+    Also: the collapse covers every original triangle and pads short
+    leaves with duplicates of a leaf member."""
+    from rtrt_tpu.bvh.packet import (pack_for_packets, pack_nodes4,
+                                     packet_intersect)
+    from rtrt_tpu.bvh.sah import bvh4_nodes
+    from rtrt_tpu.bvh.traverse import intersect_brute
+
+    v0, v1, v2 = _random_tri_soup(rng, 500, spread=8.0)
+    bv0, bv1, bv2, valid = _pad_batches(v0, v1, v2, 1)
+    bvh = build_scene_bvh_sah(bv0, bv1, bv2, valid, leaf_max=8)
+
+    # structure: tree shrank well below n-1 internal nodes; every original
+    # triangle is present in the padded sorted table
+    assert bvh.boxes_t.shape[1] < 500 // 3
+    sti = np.asarray(bvh.sorted_tri_index)
+    covered = np.unique(sti[np.asarray(bvh.tris_t)[0] != 0.0])
+    assert np.isin(np.arange(500), sti).all()
+
+    org = jnp.asarray(rng.uniform(-15, 15, (256, 3)).astype(np.float32))
+    d = jnp.asarray(_normalize(rng.normal(size=(256, 3)).astype(np.float32)))
+
+    hb = intersect_brute(org, d, jnp.asarray(v0), jnp.asarray(v1),
+                         jnp.asarray(v2))
+    tb = np.asarray(hb.t)
+
+    hw = intersect_scene(bvh, org, d, leaf_width=8, max_steps=16384)
+    tables = pack_for_packets(bvh)
+    ph = packet_intersect(tables, org, d, tlas_internal=0, leaf_width=8,
+                          interpret=True, max_steps=16384)
+    t4 = tables._replace(nodes_f32=pack_nodes4(bvh4_nodes(bvh)))
+    p4 = packet_intersect(t4, org, d, tlas_internal=0, arity=4,
+                          leaf_width=8, interpret=True, max_steps=16384)
+
+    for t in (np.asarray(hw.t), np.asarray(ph.t), np.asarray(p4.t)):
+        assert (np.isfinite(t) == np.isfinite(tb)).all()
+        m = np.isfinite(t)
+        np.testing.assert_allclose(t[m], tb[m], rtol=1e-4, atol=1e-4)
