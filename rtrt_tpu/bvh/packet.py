@@ -440,13 +440,22 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
         pushes via a 5-comparator scalar sort network, nearest continues.
         Same fetch machinery cost as the binary record; ~halves steps."""
         nf = _rec_fetch(nodes_f_ref, row, 32, interpret)
-        es, mins = [], []
+        es, rows_ = [], []
         for c in range(4):
             h_c, t_c = slab(_lv(nf, 6 * c), _lv(nf, 6 * c + 1),
                             _lv(nf, 6 * c + 2), _lv(nf, 6 * c + 3),
                             _lv(nf, 6 * c + 4), _lv(nf, 6 * c + 5), best_t)
-            mins.append(jnp.min(jnp.where(h_c, t_c, jnp.inf)))
+            # sublane-reduce each child's masked entry map to a (1,128)
+            # row (pure vector work)
+            rows_.append(jnp.min(jnp.where(h_c, t_c, jnp.inf), axis=0,
+                                 keepdims=True))
             es.append(_ls(nf, 24 + c).astype(jnp.int32))
+        # merge the four lane-reduction trees into ONE: stack the four
+        # (1,128) rows and lane-reduce once to (4,1), then 4 cheap scalar
+        # extracts — replaces 4 full (S,128)->scalar reductions whose lane
+        # trees each cost a 7-step roll/min chain
+        m4 = jnp.min(jnp.concatenate(rows_, axis=0), axis=1)  # (4,)
+        mins = [m4[c] for c in range(4)]
         carry = hs + (leafv, bound)
         for c in range(4):
             # empty slots (entry -1) carry inverted boxes -> min == inf
@@ -545,10 +554,13 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
             hr, tr = slab(_lv(nf, 6), _lv(nf, 7), _lv(nf, 8),
                           _lv(nf, 9), _lv(nf, 10), _lv(nf, 11), best_t)
             # ONE cross-lane reduction per child: the tile-min entry also
-            # answers "any lane hit" (inf = none) — each reduction is a
-            # vector->scalar sync, so halving them matters at ~1 us/step
-            minl = jnp.min(jnp.where(hl, tl, jnp.inf))
-            minr = jnp.min(jnp.where(hr, tr, jnp.inf))
+            # answers "any lane hit" (inf = none); the two lane-reduction
+            # trees merge into one via a stacked (2,128) row (same trick
+            # as _visit4)
+            rl = jnp.min(jnp.where(hl, tl, jnp.inf), axis=0, keepdims=True)
+            rr = jnp.min(jnp.where(hr, tr, jnp.inf), axis=0, keepdims=True)
+            m2 = jnp.min(jnp.concatenate([rl, rr], axis=0), axis=1)
+            minl, minr = m2[0], m2[1]
             anyl = minl < jnp.inf
             anyr = minr < jnp.inf
 

@@ -100,6 +100,10 @@ def denoise(color, albedo, normal, depth, mat_id, motion,
         noise8 = noise8 / n_tile
 
     if flags.spatial_filter:
+        # radius-3 stride-1 stays the XLA tap-accumulation form: measured
+        # in-frame, the windowed-DMA kernel LOSES 15 ms here (halo DMA of
+        # 8 planes/tile outweighs the small aligned shifts XLA emits);
+        # the Pallas form remains available for sweeps
         c = spatial_filter_7x7(c, normal, depth, mat_id, noise8, p,
                                frame_parity)
 

@@ -94,11 +94,18 @@ def _gate_by_noise(filtered, original, noise, threshold, tile: int):
 
 
 def spatial_filter_7x7(color, normal, depth, mat_id, noise8, p: DenoiseParams,
-                       frame_parity: int = 0):
+                       frame_parity: int = 0, use_pallas: bool = False,
+                       interpret: bool = False):
     """The reference's SpatialFilter7x7: full 7x7 joint-bilateral, gated by
     the 8x8 tile noise level, alternating half-kernels per frame."""
-    filtered = _edge_aware_pass(color, normal, depth, mat_id, p, radius=3,
-                                stride=1, half_taps=True, parity=frame_parity)
+    if use_pallas:
+        filtered = _wide_pass_pallas(color, normal, depth, mat_id, p,
+                                     stride=1, radius=3, half_taps=True,
+                                     parity=frame_parity, interpret=interpret)
+    else:
+        filtered = _edge_aware_pass(color, normal, depth, mat_id, p,
+                                    radius=3, stride=1, half_taps=True,
+                                    parity=frame_parity)
     return _gate_by_noise(filtered, color, noise8, p.noise_threshold, 8)
 
 
@@ -138,7 +145,8 @@ _HALO = 48     # fixed window halo (covers 2*stride up to stride 12, 8-mult)
 def _wide_kernel(sig_ref,
                  cx_h, cy_h, cz_h, nx_h, ny_h, nz_h, d_h, m_h,
                  ox_o, oy_o, oz_o,
-                 *scratch, stride: int, wh: int, ww: int, interpret: bool):
+                 *scratch, stride: int, radius: int, half_taps: bool,
+                 wh: int, ww: int, interpret: bool):
     (scx, scy, scz, snx, sny, snz, sd, sm) = scratch[:8]
     sems = scratch[8]
     i = pl.program_id(0)
@@ -158,6 +166,7 @@ def _wide_kernel(sig_ref,
     sigma_n = sig_ref[0]
     sigma_d = sig_ref[1]
     m_miss = jnp.maximum(1.0 - sig_ref[2], 0.0)
+    parity = sig_ref[3]
 
     def at(s, dy, dx):
         return s[_HALO + dy:_HALO + dy + _WT_H,
@@ -171,22 +180,23 @@ def _wide_kernel(sig_ref,
     safe_d = jnp.where(fin0, d0, 0.0)
     inv_sig = 1.0 / (sigma_d * jnp.maximum(safe_d, 1.0) + 1e-6)
 
-    # static python tap weights (numpy twin of gaussian_weights(2) —
+    # static python tap weights (numpy twin of gaussian_weights(radius) —
     # no device-array creation inside kernel tracing)
     import numpy as _np
-    _sig = 2 * 0.5 + 0.25
-    _ax = _np.arange(-2, 3)
+    _sig = radius * 0.5 + 0.25
+    _ax = _np.arange(-radius, radius + 1)
     _k = _np.exp(-(_ax ** 2) / (2.0 * _sig ** 2))
     _k2 = _np.outer(_k, _k)
     g = (_k2 / _k2.sum()).reshape(-1)
+    k_half = (2 * radius + 1) ** 2 // 2
 
     wsum = jnp.zeros((_WT_H, _WT_W), jnp.float32)
     ax = jnp.zeros((_WT_H, _WT_W), jnp.float32)
     ay = jnp.zeros((_WT_H, _WT_W), jnp.float32)
     az = jnp.zeros((_WT_H, _WT_W), jnp.float32)
     k = -1
-    for dy in range(-2, 3):
-        for dx in range(-2, 3):
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
             k += 1
             sy, sx = dy * stride, dx * stride
             d_t = at(sd, sy, sx)
@@ -199,6 +209,9 @@ def _wide_kernel(sig_ref,
             d_w = jnp.where(fin_t == fin0, d_w, 0.0)
             m_w = jnp.where(at(sm, sy, sx) == m0, 1.0, m_miss)
             w = float(g[k]) * n_w * d_w * m_w
+            if half_taps and k != k_half:
+                # frame-alternating half kernel (traced parity scalar)
+                w = w * jnp.where((k + parity) % 2 == 0, 1.0, 0.0)
             wsum = wsum + w
             ax = ax + at(scx, sy, sx) * w
             ay = ay + at(scy, sy, sx) * w
@@ -212,7 +225,8 @@ def _wide_kernel(sig_ref,
 
 
 def _wide_pass_pallas(color, normal, depth, mat_id, p: DenoiseParams,
-                      stride: int, interpret: bool = False):
+                      stride: int, radius: int = 2, half_taps: bool = False,
+                      parity=0, interpret: bool = False):
     """One 5x5 joint-bilateral pass at the given stride, as a windowed-DMA
     Pallas kernel — identical math to _edge_aware_pass(radius=2) (the XLA
     twin is the oracle in tests/test_denoise_post.py)."""
@@ -241,7 +255,7 @@ def _wide_pass_pallas(color, normal, depth, mat_id, p: DenoiseParams,
     sig = jnp.stack([p.sigma_normal.astype(jnp.float32),
                      p.sigma_depth.astype(jnp.float32),
                      p.sigma_material.astype(jnp.float32),
-                     jnp.float32(0.0)])
+                     jnp.asarray(parity, jnp.float32)])
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     hbm = pl.BlockSpec(memory_space=pl.ANY)
@@ -249,7 +263,8 @@ def _wide_pass_pallas(color, normal, depth, mat_id, p: DenoiseParams,
                        memory_space=pltpu.VMEM)
     f32 = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
     outs = pl.pallas_call(
-        functools.partial(_wide_kernel, stride=stride, wh=wh, ww=ww,
+        functools.partial(_wide_kernel, stride=stride, radius=radius,
+                          half_taps=half_taps, wh=wh, ww=ww,
                           interpret=interpret),
         grid=(nty, ntx),
         in_specs=[smem] + [hbm] * 8,

@@ -325,7 +325,8 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
     if static.flags.postprocess:
         image, new_exposure = postprocess(final, state.exposure, dt, sun_uv,
                                           sun_visible, params.post,
-                                          static.flags, sh, sw, frame_idx)
+                                          static.flags, sh, sw, frame_idx,
+                                          use_pallas=static.use_packets)
     else:
         ldr = jnp.clip(final, 0.0, 1.0) ** (1.0 / 2.2)
         if (sh, sw) != (h, w):
