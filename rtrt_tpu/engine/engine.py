@@ -204,7 +204,13 @@ class Engine:
             use_packets=_tpu_available() and packets_fit,
             use_megakernel=(_tpu_available() and packets_fit
                             and os.environ.get("RTRT_MEGAKERNEL", "1") != "0"),
-            bounce_subtile=int(os.environ.get("RTRT_BOUNCE_SUBTILE", "0")),
+            # bounce segments traverse in 32-row strips: incoherent rays
+            # make a (64,128) tile's step union approach the sum of
+            # per-lane visits, so half-height strips do ~sqrt(2)x the
+            # steps at half the vector work each.  Swept on terrain 1080p
+            # after the merged-lane-reduce change cut the per-step fixed
+            # cost: 0 -> 172.1 ms, 8 -> 164.7, 16 -> 150.5, 32 -> 149.6.
+            bounce_subtile=int(os.environ.get("RTRT_BOUNCE_SUBTILE", "32")),
             sah_leaf=getattr(self, "_sah_leaf", 1),
             animation=self.animation)
 
