@@ -25,6 +25,11 @@ BENCH_W = int(os.environ.get("BENCH_WIDTH", 1920))
 BENCH_H = int(os.environ.get("BENCH_HEIGHT", 1080))
 FRAMES = int(os.environ.get("BENCH_FRAMES", 10))
 SCENE = os.environ.get("BENCH_SCENE", "terrain")
+# ANIMATION=wave measures the honest DYNAMIC-GEOMETRY frame: per-frame
+# vertex displacement + BVH refit inside the jitted program (the
+# reference's defining workload rebuilds the tree every frame,
+# src/kernel.cu:328-333).  Default "none" = static scene, prebuilt tree.
+ANIMATION = os.environ.get("ANIMATION", "none")
 
 
 def main():
@@ -42,15 +47,18 @@ def main():
     from rtrt_tpu.engine.engine import Engine
     from rtrt_tpu.utils.config import DynamicResolution, GlobalSettings
 
-    # terrain_big: the >=200k-tri config (reference envelope reaches 1M,
-    # src/kernel.cuh:54-55); plain terrain (36.8k) is the headline scene
-    chunks = 10 if SCENE == "terrain_big" else 4
+    # terrain_big: the >=200k-tri config; terrain_huge: ~1M tris, the top
+    # of the reference's scene envelope (src/kernel.cuh:54-55 — 1,048,576).
+    # huge exceeds the packet kernel's VMEM table budget and exercises the
+    # XLA wavefront fallback (engine.packet_tables_fit).  Plain terrain
+    # (36.8k) is the headline scene.
+    chunks = {"terrain_big": 10, "terrain_huge": 21}.get(SCENE, 4)
     scene = "terrain" if SCENE.startswith("terrain") else SCENE
     settings = GlobalSettings(
         render_width=BENCH_W, render_height=BENCH_H, scene=scene,
         texture_size=256, terrain_chunks=chunks,
         dynamic_resolution=DynamicResolution(enabled=False))
-    eng = Engine(settings)
+    eng = Engine(settings, animation=ANIMATION)
 
     # warmup/compile
     eng.render_frame_device(dt=1 / 60)
@@ -79,7 +87,8 @@ def main():
     mrays = eng.render_w * eng.render_h * 5 / (ms / 1e3) / 1e6
     print(json.dumps({
         "metric": (f"ms_per_frame_{eng.render_w}x{eng.render_h}_1spp_"
-                   f"denoised_{SCENE}_{eng.scene.num_tris}tris"),
+                   f"denoised_{SCENE}_{eng.scene.num_tris}tris"
+                   + ("_animated" if ANIMATION != "none" else "")),
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(target_ms / ms, 4),

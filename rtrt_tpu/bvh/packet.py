@@ -65,6 +65,21 @@ STACK = 512          # shared per-tile stack depth (scalars in SMEM).
 PACKET_MAX_STEPS = 16384
 
 RAY_TMIN = 1e-4
+
+# Leaf triangle test: "mt" = Möller-Trumbore with PRECOMPUTED EDGES
+# (reference offers it at src/geometry.cuh:267) or "wt" = watertight
+# (JCGT 2013, shear + same-sign — reference default,
+# src/geometry.cuh:406-472).  MT is ~25% fewer VPU ops across an 8-record
+# leaf row (no per-vertex shear/permute) and measured 149.4 -> 139.8 ms on
+# terrain 1080p; the theoretical cost is losing the watertightness
+# guarantee on shared edges, measured as SSIM(wt, mt) = 0.99999 with
+# ~7e-6 of pixels differing >4 LSB at 1080p (isolated speckles the
+# temporal accumulation absorbs) — so MT is the default and watertight
+# stays available via RTRT_TRI_TEST=wt.  The flag switches BOTH the pack
+# layout (rows become [v0|e1|e2]) and the kernel test — read once at
+# import so every consumer agrees.
+TRI_TEST = _os.environ.get("RTRT_TRI_TEST", "mt")
+
 _IDX_MASK = (1 << 11) - 1
 _BATCH_SHIFT = 11
 _BATCH_MASK = (1 << 11) - 1
@@ -137,10 +152,15 @@ def pack_for_packets(bvh: SceneBvh, tri_nrm_t=None, tri_mat=None) -> PacketTable
     # whole-row vector bitcast measured a 4x frame regression)
     mat_bits = tri_mat.astype(jnp.float32)[:, None]
     child_bits = bvh.children_t.T.astype(jnp.float32)  # (M,2)
+    if TRI_TEST == "mt":
+        # Möller-Trumbore rows carry precomputed edges: [v0 | v1-v0 | v2-v0]
+        tri_rows = jnp.concatenate([tt[0:3], e1, e2], axis=0).T
+    else:
+        tri_rows = bvh.tris_t.T
     return PacketTables(
         nodes_f32=_pack_rows(
             jnp.concatenate([bvh.boxes_t.T, child_bits], axis=1), 16),
-        tris_f32=_pack_rows(bvh.tris_t.T, 16),
+        tris_f32=_pack_rows(tri_rows, 16),
         attr_f32=_pack_rows(
             jnp.concatenate([attr_f, ng, mat_bits], axis=1), 16))
 
@@ -268,11 +288,43 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
         return hit, tn
 
     def tri_hit(v, best, off=0):
-        """v: fetched (1,128) record; vectorized watertight over the tile
-        (vertex lanes ride as (1,1) broadcasts — no scalar extracts).
+        """v: fetched (1,128) record; vectorized watertight or
+        Möller-Trumbore (TRI_TEST) over the tile (vertex lanes ride as
+        (1,1) broadcasts — no scalar extracts).
         off: lane offset of the record inside the row (row-aligned
         multi-triangle leaves read ONE row and test its 8 records at
         static offsets 16k — no per-record fetch machinery)."""
+        if TRI_TEST == "mt":
+            # record lanes: [v0 | e1 | e2] (edges precomputed at pack
+            # time).  Division-free accept: compare u/v/t against
+            # |det|-scaled bounds, one reciprocal only for the outputs.
+            v0x, v0y, v0z = _lv(v, off + 0), _lv(v, off + 1), _lv(v, off + 2)
+            e1x, e1y, e1z = _lv(v, off + 3), _lv(v, off + 4), _lv(v, off + 5)
+            e2x, e2y, e2z = _lv(v, off + 6), _lv(v, off + 7), _lv(v, off + 8)
+            px = ox - v0x
+            py = oy - v0y
+            pz = oz - v0z
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            det = e1x * hx + e1y * hy + e1z * hz
+            uq = px * hx + py * hy + pz * hz
+            qx = py * e1z - pz * e1y
+            qy = pz * e1x - px * e1z
+            qz = px * e1y - py * e1x
+            vq = dx * qx + dy * qy + dz * qz
+            tq = e2x * qx + e2y * qy + e2z * qz
+            adet = jnp.abs(det)
+            sg = jnp.sign(det)
+            u_s = uq * sg
+            v_s = vq * sg
+            t_s = tq * sg
+            ok = (det != 0.0) & (u_s >= 0.0) & (v_s >= 0.0) \
+                & (u_s + v_s <= adet) \
+                & (t_s > RAY_TMIN * adet) & (t_s < best * adet)
+            inv = jnp.where(det != 0.0, 1.0 / det, 0.0)
+            return ok, tq * inv, uq * inv, vq * inv
+
         def prep(c0, c1, c2):
             px = c0 - ox
             py = c1 - oy
@@ -346,93 +398,94 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
                      zf(), zf(), zf(), zf(), zf(), zf())
     nh = len(hs0)
 
-    # leaf children: test now (scalar tri row, dense lanes); surface
-    # attributes (shading/geometric normals, material) are computed AT
-    # ACCEPT TIME from scalar rows — the integrator never gathers
-    # per-triangle data again.  carry = hs + (leafv, bound).
-    def maybe_leaf(e, anyhit_flag, carry):
-        is_leaf = (e & _LEAF_BIT) != 0
-        do = is_leaf & anyhit_flag
-
-        def yes(args):
-            best_t, tri, uo, vo = args[0:4]
-            leafv, bound = args[-2:]
-            base = ((e >> _BATCH_SHIFT) & _BATCH_MASK) * BATCH_SIZE \
-                + (e & _IDX_MASK) * GROUP
-            # test the leaf's triangles and reduce to a per-lane
-            # best-of-group FIRST — the carry planes and the prune bound
-            # are then updated once per leaf visit, not once per triangle
-            # (tri tests are pure vector work; bound updates are scalar
-            # syncs).  Row-aligned leaves (leaf_width == 8, flat SAH trees
-            # built with leaf_max=8) read the WHOLE leaf with one static
-            # row slice — no per-record dynamic fetch/rotate — and test
-            # its 8 records at static lane offsets; short leaves carry
-            # duplicates of their first triangle (harmless real geometry).
+    # Leaf visit: test the leaf's triangles against every lane.  Leaves
+    # ride the SHARED STACK like internal nodes (the leaf bit is already in
+    # the packed entry), so each loop iteration makes ONE leaf/internal
+    # dispatch instead of 2-4 maybe-leaf lax.conds per internal step —
+    # AND deferred leaves are ordered-traversal PRUNED: a leaf pushed with
+    # its tile-min entry is skipped outright when a nearer accepted hit
+    # tightens the bound below it, saving its 8 triangle tests (the fat
+    # part of a step).  This is the reference's one-dispatch-per-iteration
+    # inner loop (reference: src/traverse.h:107-253) vectorized over the
+    # tile.  Surface attributes (shading/geometric normals, material) are
+    # computed AT ACCEPT TIME from scalar rows — the integrator never
+    # gathers per-triangle data again.  carry = hs + (leafv, bound).
+    def leaf_body(e, args):
+        best_t, tri, uo, vo = args[0:4]
+        leafv, bound = args[-2:]
+        base = ((e >> _BATCH_SHIFT) & _BATCH_MASK) * BATCH_SIZE \
+            + (e & _IDX_MASK) * GROUP
+        # test the leaf's triangles and reduce to a per-lane
+        # best-of-group FIRST — the carry planes and the prune bound
+        # are then updated once per leaf visit, not once per triangle
+        # (tri tests are pure vector work; bound updates are scalar
+        # syncs).  Row-aligned leaves (leaf_width == 8, flat SAH trees
+        # built with leaf_max=8) read the WHOLE leaf with one static
+        # row slice — no per-record dynamic fetch/rotate — and test
+        # its 8 records at static lane offsets; short leaves carry
+        # duplicates of their first triangle (harmless real geometry).
+        if leaf_width > 1:
+            assert leaf_width == 128 // 16 and GROUP == 1
+            v8 = tris_ref[pl.ds(base // leaf_width, 1), :]
+            recs = [(base + k, v8, 16 * k) for k in range(leaf_width)]
+        else:
+            recs = [(base + k,
+                     _rec_fetch(tris_ref, base + k, 16, interpret), 0)
+                    for k in range(GROUP)]
+        gt = jnp.full(shape, jnp.inf, jnp.float32)
+        gtri = jnp.zeros(shape, jnp.int32)
+        gu = zf()
+        gv = zf()
+        for t_idx, v, off in recs:
+            ok, tt, tu, tv = tri_hit(v, best_t, off)
+            gb = ok & (tt < gt)
+            gt = jnp.where(gb, tt, gt)
+            gtri = jnp.where(gb, t_idx, gtri)
+            gu = jnp.where(gb, tu, gu)
+            gv = jnp.where(gb, tv, gv)
+        # tri_hit already enforces tt < best_t, so any finite
+        # group-best is an improvement
+        better = gt < best_t
+        tt = gt
+        if first_hit is not None:
+            # per-lane any-hit: an occluded shadow lane leaves the
+            # union entirely (-inf best fails every slab and triangle
+            # test; callers never read its t)
+            tt = jnp.where(first_hit & better, -jnp.inf, tt)
+        new_best = jnp.where(better, tt, best_t)
+        out = (new_best,
+               jnp.where(better, gtri, tri),
+               jnp.where(better, gu, uo),
+               jnp.where(better, gv, vo))
+        if not lean:
+            mat, nsx, nsy, nsz, ngx, ngy, ngz = args[4:11]
             if leaf_width > 1:
-                assert leaf_width == 128 // 16 and GROUP == 1
-                v8 = tris_ref[pl.ds(base // leaf_width, 1), :]
-                recs = [(base + k, v8, 16 * k) for k in range(leaf_width)]
-            else:
-                recs = [(base + k,
-                         _rec_fetch(tris_ref, base + k, 16, interpret), 0)
-                        for k in range(GROUP)]
-            gt = jnp.full(shape, jnp.inf, jnp.float32)
-            gtri = jnp.zeros(shape, jnp.int32)
-            gu = zf()
-            gv = zf()
-            for t_idx, v, off in recs:
-                ok, tt, tu, tv = tri_hit(v, best_t, off)
-                gb = ok & (tt < gt)
-                gt = jnp.where(gb, tt, gt)
-                gtri = jnp.where(gb, t_idx, gtri)
-                gu = jnp.where(gb, tu, gu)
-                gv = jnp.where(gb, tv, gv)
-            # tri_hit already enforces tt < best_t, so any finite
-            # group-best is an improvement
-            better = gt < best_t
-            tt = gt
-            if first_hit is not None:
-                # per-lane any-hit: an occluded shadow lane leaves the
-                # union entirely (-inf best fails every slab and triangle
-                # test; callers never read its t)
-                tt = jnp.where(first_hit & better, -jnp.inf, tt)
-            new_best = jnp.where(better, tt, best_t)
-            out = (new_best,
-                   jnp.where(better, gtri, tri),
-                   jnp.where(better, gu, uo),
-                   jnp.where(better, gv, vo))
-            if not lean:
-                mat, nsx, nsy, nsz, ngx, ngy, ngz = args[4:11]
-                if leaf_width > 1:
-                    a8 = attr_f_ref[pl.ds(base // leaf_width, 1), :]
-                for t_idx, _, off in recs:
-                    m = better & (gtri == t_idx)
-                    # one attr fetch: shading normals, precomputed
-                    # geometric normal, material bits
-                    a = a8 if leaf_width > 1 \
-                        else _rec_fetch(attr_f_ref, t_idx, 16, interpret)
-                    am = _lv(a, off + 12).astype(jnp.int32)
-                    # interpolated shading normal (rows x bary)
-                    tw = 1.0 - gu - gv
-                    inx = tw * _lv(a, off + 0) + gu * _lv(a, off + 3) \
-                        + gv * _lv(a, off + 6)
-                    iny = tw * _lv(a, off + 1) + gu * _lv(a, off + 4) \
-                        + gv * _lv(a, off + 7)
-                    inz = tw * _lv(a, off + 2) + gu * _lv(a, off + 5) \
-                        + gv * _lv(a, off + 8)
-                    mat = jnp.where(m, am, mat)
-                    nsx = jnp.where(m, inx, nsx)
-                    nsy = jnp.where(m, iny, nsy)
-                    nsz = jnp.where(m, inz, nsz)
-                    ngx = jnp.where(m, _lv(a, off + 9), ngx)
-                    ngy = jnp.where(m, _lv(a, off + 10), ngy)
-                    ngz = jnp.where(m, _lv(a, off + 11), ngz)
-                out = out + (mat, nsx, nsy, nsz, ngx, ngy, ngz)
-            # prune bound tightens as lanes accept hits
-            return out + (leafv + len(recs), jnp.max(new_best))
-
-        # lax.cond keeps the leaf work off the pure-internal steps
-        return jax.lax.cond(do, yes, lambda a: a, carry)
+                a8 = attr_f_ref[pl.ds(base // leaf_width, 1), :]
+            for t_idx, _, off in recs:
+                m = better & (gtri == t_idx)
+                # one attr fetch: shading normals, precomputed
+                # geometric normal, material bits
+                a = a8 if leaf_width > 1 \
+                    else _rec_fetch(attr_f_ref, t_idx, 16, interpret)
+                am = _lv(a, off + 12).astype(jnp.int32)
+                # interpolated shading normal (rows x bary)
+                tw = 1.0 - gu - gv
+                inx = tw * _lv(a, off + 0) + gu * _lv(a, off + 3) \
+                    + gv * _lv(a, off + 6)
+                iny = tw * _lv(a, off + 1) + gu * _lv(a, off + 4) \
+                    + gv * _lv(a, off + 7)
+                inz = tw * _lv(a, off + 2) + gu * _lv(a, off + 5) \
+                    + gv * _lv(a, off + 8)
+                mat = jnp.where(m, am, mat)
+                nsx = jnp.where(m, inx, nsx)
+                nsy = jnp.where(m, iny, nsy)
+                nsz = jnp.where(m, inz, nsz)
+                ngx = jnp.where(m, _lv(a, off + 9), ngx)
+                ngy = jnp.where(m, _lv(a, off + 10), ngy)
+                ngz = jnp.where(m, _lv(a, off + 11), ngz)
+            out = out + (mat, nsx, nsy, nsz, ngx, ngy, ngz)
+        # prune bound tightens as lanes accept hits
+        return out + (leafv + len(recs), jnp.max(new_best))
 
     def _visit4(row, sp, hs, leafv, bound, best_t):
         """4-wide node visit (flat SAH4 trees, bvh/sah.py): one stride-32
@@ -456,17 +509,11 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
         # trees each cost a 7-step roll/min chain
         m4 = jnp.min(jnp.concatenate(rows_, axis=0), axis=1)  # (4,)
         mins = [m4[c] for c in range(4)]
-        carry = hs + (leafv, bound)
-        for c in range(4):
-            # empty slots (entry -1) carry inverted boxes -> min == inf
-            carry = maybe_leaf(es[c], mins[c] < jnp.inf, carry)
-        hs = carry[:nh]
-        leafv, bound = carry[-2:]
 
-        # internal candidates, sorted near-first by tile-min entry
-        pairs = [(jnp.where((mins[c] < jnp.inf)
-                            & ((es[c] & _LEAF_BIT) == 0),
-                            mins[c], jnp.inf), es[c]) for c in range(4)]
+        # candidates (leaf AND internal — leaves ride the stack), sorted
+        # near-first by tile-min entry.  Empty slots (entry -1) carry
+        # inverted boxes -> min == inf, never valid.
+        pairs = [(mins[c], es[c]) for c in range(4)]
 
         def cswap(a, b):
             sw = a[0] > b[0]
@@ -527,7 +574,13 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
         curt = jnp.where(need, topt, curt)
         sp = jnp.where(need, sp - 1, sp)
 
-        def visit(args):
+        def visit_leaf(args):
+            # deferred leaf pop: test its triangles, then pop again
+            sp = args[0]
+            carry = leaf_body(cur, args[1:])
+            return (sp,) + carry + (jnp.float32(jnp.inf), jnp.int32(-1))
+
+        def visit_internal(args):
             sp = args[0]
             hs = args[1:1 + nh]
             leafv, bound = args[-2:]
@@ -561,39 +614,30 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
             rr = jnp.min(jnp.where(hr, tr, jnp.inf), axis=0, keepdims=True)
             m2 = jnp.min(jnp.concatenate([rl, rr], axis=0), axis=1)
             minl, minr = m2[0], m2[1]
-            anyl = minl < jnp.inf
-            anyr = minr < jnp.inf
 
-            carry = hs + (leafv, bound)
-            carry = maybe_leaf(le, anyl, carry)
-            carry = maybe_leaf(re, anyr, carry)
-            hs = carry[:nh]
-            leafv, bound = carry[-2:]
-
-            l_int = anyl & ((le & _LEAF_BIT) == 0)
-            r_int = anyr & ((re & _LEAF_BIT) == 0)
-
-            # near-first by min entry distance over hitting lanes
+            # near-first by min entry distance over hitting lanes; leaf
+            # children are candidates too (they ride the stack)
             l_first = minl <= minr
             near = jnp.where(l_first, le, re)
             far = jnp.where(l_first, re, le)
-            near_ok = jnp.where(l_first, l_int, r_int)
-            far_ok = jnp.where(l_first, r_int, l_int)
             near_t = jnp.where(l_first, minl, minr)
             far_t = jnp.where(l_first, minr, minl)
+            near_ok = near_t < jnp.inf
+            far_ok = far_t < jnp.inf
 
-            # push far (with its tile-min entry for pop-time pruning)
-            def push(sp):
-                stack_ref[sp] = far
-                tstack_ref[sp] = far_t
-                return sp + 1
+            # push far (with its tile-min entry for pop-time pruning);
+            # predicated write, no cond
+            c = (near_ok & far_ok & (sp < STACK)).astype(jnp.int32)
+            w = jnp.minimum(sp, STACK - 1)
+            stack_ref[w] = jnp.where(c > 0, far, stack_ref[w])
+            tstack_ref[w] = jnp.where(c > 0, far_t, tstack_ref[w])
+            sp = sp + c
+            nxt = jnp.where(near_ok, near, jnp.int32(-1))
+            return (sp,) + hs + (leafv, bound, near_t, nxt)
 
-            sp = jax.lax.cond(near_ok & far_ok & (sp < STACK), push,
-                              lambda s: s, sp)
-            nxt = jnp.where(near_ok, near,
-                            jnp.where(far_ok, far, jnp.int32(-1)))
-            nxt_t = jnp.where(near_ok, near_t, far_t)
-            return (sp,) + hs + (leafv, bound, nxt_t, nxt)
+        def visit(args):
+            return jax.lax.cond((cur & _LEAF_BIT) != 0, visit_leaf,
+                                visit_internal, args)
 
         def skip(args):
             # pruned pop: beyond every lane's best — drop it

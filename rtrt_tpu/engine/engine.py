@@ -145,7 +145,29 @@ class Engine:
         # (the per-frame in-jit rebuild stays the path for animated
         # geometry; the reference rebuilds unconditionally, kernel.cu:328)
         self.prebuilt = None
-        if self.animation == "none" and \
+        self._refit_plan = None
+        refit_ok = (
+            self.animation == "wave"
+            and os.environ.get("RTRT_REFIT", "1") != "0"
+            and os.environ.get("RTRT_SAH", "1") != "0"
+            and os.environ.get("RTRT_BVH4", "1") != "0"
+            and os.environ.get("RTRT_MEGAKERNEL", "1") != "0"
+            and _tpu_available() and packet_tables_fit(self.scene.num_batches))
+        if refit_ok:
+            # animated scenes: freeze the init-time SAH/BVH4 topology and
+            # refit boxes per frame inside the jitted program (bvh/refit.py)
+            from ..bvh.refit import plan_refit4
+            from ..bvh.sah import build_scene_tables_sah, bvh4_nodes
+            self._sah_leaf = 8 \
+                if os.environ.get("RTRT_LEAF8", "1") != "0" else 1
+            bvh, nrm_t, mat_s = build_scene_tables_sah(
+                self.scene.num_batches, self.indices, self.tri_mat,
+                self.valid, self.state.vertices, self.state.normals,
+                leaf_max=self._sah_leaf)
+            raw4 = bvh4_nodes(bvh)
+            self._refit_plan = plan_refit4(raw4, leaf_width=self._sah_leaf)
+            self.prebuilt = (bvh, nrm_t, mat_s)
+        elif self.animation == "none" and \
                 os.environ.get("RTRT_PREBUILD", "1") != "0":
             if os.environ.get("RTRT_SAH", "1") != "0":
                 # static scenes get the high-quality binned-SAH flat tree
@@ -222,7 +244,8 @@ class Engine:
         static = self._static_for(bucket_h)
         self._static = static
         if bucket_h not in self._frame_fns:
-            self._frame_fns[bucket_h] = make_frame_fn(static)
+            self._frame_fns[bucket_h] = make_frame_fn(
+                static, refit_plan=self._refit_plan)
         # history buffers are resolution-dependent — reset on switch
         self.state = self.state._replace(
             history=init_history(self.render_h, self.render_w,
@@ -243,7 +266,7 @@ class Engine:
         import threading
         self._precompiling.add(bucket_h)
         static = self._static_for(bucket_h)
-        fn = make_frame_fn(static)
+        fn = make_frame_fn(static, refit_plan=self._refit_plan)
 
         def work():
             try:

@@ -57,6 +57,47 @@ def displace_wave(vertices, time, amp=0.35, freq=0.5, speed=1.5):
     return vertices.at[:, 1].add(dy)
 
 
+def displace_wave_rows(tris_t, time, amp=0.35, freq=0.5, speed=1.5):
+    """The same traveling wave applied directly to the SORTED (9, P)
+    triangle table (rows 0-2/3-5/6-8 = v0/v1/v2).  The displacement is a
+    pure function of (x, z), so per-slot application needs ZERO gathers —
+    duplicate slots (row-aligned leaf padding) displace identically."""
+    out = tris_t
+    for b in (0, 3, 6):
+        x = tris_t[b]
+        z = tris_t[b + 2]
+        dy = amp * jnp.sin(freq * x + time * speed) \
+            * jnp.cos(freq * 0.8 * z + time * 1.1)
+        out = out.at[b + 1].add(dy)
+    return out
+
+
+def wave_normal_rows(nrm_t, tris_t, time, amp=0.35, freq=0.5, speed=1.5):
+    """EXACT shading-normal transform under p' = p + d(x,z)·ŷ.
+
+    The displacement Jacobian is J = I + ŷ∇dᵀ with det J = 1, so normals
+    map by the inverse-transpose: n' = n - ∇d·n_y, i.e.
+        n'_x = n_x - ∂d/∂x · n_y,   n'_z = n_z - ∂d/∂z · n_y.
+    Analytic, per-row, zero gathers — replacing the segment-sum smooth-
+    normal recompute the reference does after MeshDisplace
+    (src/kernel.cu:313-327), and exact where that is an average.
+    nrm_t/tris_t: (9, P) sorted rows (undisplaced positions)."""
+    out = []
+    for b in (0, 3, 6):
+        x = tris_t[b]
+        z = tris_t[b + 2]
+        pa = freq * x + time * speed
+        pb = freq * 0.8 * z + time * 1.1
+        ddx = amp * freq * jnp.cos(pa) * jnp.cos(pb)
+        ddz = -amp * freq * 0.8 * jnp.sin(pa) * jnp.sin(pb)
+        ny = nrm_t[b + 1]
+        nx = nrm_t[b] - ddx * ny
+        nz = nrm_t[b + 2] - ddz * ny
+        il = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
+        out += [nx * il, ny * il, nz * il]
+    return jnp.stack(out)
+
+
 class FrameStatic(NamedTuple):
     """Static (hashable) frame configuration — part of the jit key."""
 
@@ -139,7 +180,8 @@ def build_scene_tables(num_batches: int, indices, tri_mat, valid, verts, nrm):
 def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
                  textures, sky: SkyMaps, lights, state: FrameState,
                  camera: Camera, prev_camera: Camera, params: RenderParams,
-                 dt, prebuilt=None, row_sharding=None, trace_mesh=None):
+                 dt, prebuilt=None, row_sharding=None, trace_mesh=None,
+                 refit_plan=None):
     """One full frame.  Returns (u8 image (screen_h, screen_w, 3), new state).
 
     indices/tri_mat/valid: padded static scene arrays (engine/scene.py);
@@ -171,6 +213,26 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
         bvh, tri_nrm_t, sorted_mat = prebuilt[:3]
         if len(prebuilt) > 3:
             nodes4 = prebuilt[3]  # packed 4-wide SAH table (or None)
+    elif prebuilt is not None and refit_plan is not None \
+            and static.animation == "wave":
+        # animated REFIT path (bvh/refit.py): displace the sorted triangle
+        # rows + shading normals analytically (zero gathers), recompute
+        # leaf AABBs with a reshape-reduce, and level-synchronously refit
+        # the frozen 4-wide SAH topology — SAH tree quality for dynamic
+        # geometry at a tiny fraction of a full rebuild.  The reference
+        # rebuilds its (worse) morton tree from scratch every frame
+        # (src/bvh.cu:7-97); refit is the TPU-native equivalent capability.
+        from ..bvh.packet import pack_nodes4
+        from ..bvh.refit import leaf_bounds, refit_nodes4
+        leaf_width = static.sah_leaf
+        bvh0, nrm_t0, sorted_mat = prebuilt[:3]
+        t_now = (state.time if state.time is not None
+                 else state.frame_idx.astype(jnp.float32) * dt)
+        tt = displace_wave_rows(bvh0.tris_t, t_now)
+        tri_nrm_t = wave_normal_rows(nrm_t0, bvh0.tris_t, t_now)
+        llo, lhi = leaf_bounds(tt, refit_plan.n_leaves, refit_plan.leaf_width)
+        nodes4 = pack_nodes4(refit_nodes4(refit_plan, llo, lhi))
+        bvh = bvh0._replace(tris_t=tt)
     else:
         verts = state.vertices
         nrm = state.normals
@@ -298,10 +360,14 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
         return (color, albedo, normal, depth, mat_id, motion), state
 
     # ---- SVGF denoise ----
+    # pallas_interpret validates the MEGAKERNEL path off-TPU; the denoise/
+    # post Pallas variants have XLA-equivalent twins (parity-tested), so
+    # interpret runs route those stages through the XLA paths
+    use_pallas_aux = static.use_packets and not static.pallas_interpret
     if static.flags.denoise:
         parity = (frame_idx & 1).astype(jnp.int32)
         # arbitrary-motion history: Pallas tile-shift on TPU, gather on CPU
-        rep_mode = "tile_shift" if static.use_packets else "gather"
+        rep_mode = "tile_shift" if use_pallas_aux else "gather"
         final, new_history = denoise(color, albedo, normal, depth, mat_id,
                                      motion, state.history, params.denoise,
                                      static.flags,
@@ -326,7 +392,7 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
         image, new_exposure = postprocess(final, state.exposure, dt, sun_uv,
                                           sun_visible, params.post,
                                           static.flags, sh, sw, frame_idx,
-                                          use_pallas=static.use_packets)
+                                          use_pallas=use_pallas_aux)
     else:
         ldr = jnp.clip(final, 0.0, 1.0) ** (1.0 / 2.2)
         if (sh, sw) != (h, w):
@@ -342,8 +408,11 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
     return image, new_state
 
 
-def make_frame_fn(static: FrameStatic):
+def make_frame_fn(static: FrameStatic, refit_plan=None):
     """Compile the frame program for a static configuration.
+
+    refit_plan: optional bvh.refit.RefitPlan for the animated refit path —
+    closed over (its numpy index schedule must stay concrete, not traced).
 
     The scoped-VMEM limit is raised for the megakernel frame: at 1080p XLA
     elects to keep several of the kernel's (n_tiles,16,128) outputs in VMEM
@@ -351,7 +420,8 @@ def make_frame_fn(static: FrameStatic):
     budget (v5e has 128 MiB physical VMEM — 64 MiB scoped is safe)."""
     opts = ({"xla_tpu_scoped_vmem_limit_kib": "114688"}
             if static.use_megakernel else None)
+    fn = partial(render_frame, static, refit_plan=refit_plan)
     try:
-        return jax.jit(partial(render_frame, static), compiler_options=opts)
+        return jax.jit(fn, compiler_options=opts)
     except TypeError:  # older jax without compiler_options
-        return jax.jit(partial(render_frame, static))
+        return jax.jit(fn)

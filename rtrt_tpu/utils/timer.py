@@ -65,6 +65,10 @@ class FpsLog:
         self._last = time.perf_counter()
 
     def maybe_log(self, fps: float, width: int, height: int):
+        # fps == 0.0 means Timer hasn't accumulated a full second of
+        # samples yet — logging it would print a broken-looking counter
+        if fps <= 0.0:
+            return
         now = time.perf_counter()
         if now - self._last >= self.interval:
             self._last = now

@@ -1,4 +1,4 @@
-"""Tests: config system, image I/O, SSIM, packing codecs, halfedge mesh,
+"""Tests: config system, image I/O, SSIM, halfedge mesh,
 block mesher, water/stars, camera persistence, parallel tile frame."""
 
 import dataclasses
@@ -10,10 +10,6 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from rtrt_tpu.core.packing import (decode_normal_oct16, decode_normal_r11g10b11,
-                                   encode_normal_oct16,
-                                   encode_normal_r11g10b11, pack_color_mask,
-                                   unpack_color_mask)
 from rtrt_tpu.content.halfedge import HalfedgeMesh
 from rtrt_tpu.content.mesher import voxels_to_mesh
 from rtrt_tpu.core.vecmath import normalize
@@ -94,30 +90,6 @@ def test_ssim_metric(rng):
     s = ssim(a, noisy)
     assert 0.0 < s < 0.99
     assert ssim(a, noisy) > ssim(a, rng.uniform(0, 255, a.shape))
-
-
-# ---------------------------------------------------------------------------
-# packing codecs
-# ---------------------------------------------------------------------------
-
-
-def test_normal_codecs(rng):
-    n = normalize(jnp.asarray(rng.normal(size=(256, 3)).astype(np.float32)))
-    d1 = decode_normal_r11g10b11(encode_normal_r11g10b11(n))
-    err1 = np.abs(np.asarray(d1) - np.asarray(n)).max()
-    assert err1 < 5e-3
-    d2 = decode_normal_oct16(encode_normal_oct16(n))
-    dotp = np.sum(np.asarray(d2) * np.asarray(n), axis=-1)
-    assert dotp.min() > 0.9999
-
-
-def test_color_mask_packing(rng):
-    c = jnp.asarray(rng.uniform(0, 4, (64, 3)).astype(np.float32))
-    m = jnp.asarray(rng.integers(0, 1000, 64).astype(np.int32))
-    a, b = pack_color_mask(c, m)
-    c2, m2 = unpack_color_mask(a, b)
-    assert np.abs(np.asarray(c2) - np.asarray(c)).max() < 0.05  # bf16 quant
-    np.testing.assert_array_equal(np.asarray(m2), np.asarray(m))
 
 
 # ---------------------------------------------------------------------------
@@ -380,7 +352,7 @@ def test_precompile_bucket_async_runs(monkeypatch):
         def __call__(self, *a):
             return ()
 
-    def fake_make_frame_fn(static):
+    def fake_make_frame_fn(static, refit_plan=None):
         calls.append((static.render_w, static.render_h))
         return FakeFn()
 
@@ -395,6 +367,7 @@ def test_precompile_bucket_async_runs(monkeypatch):
             self.flags = FeatureFlags()
             self._frame_fns = {540: object()}
             self._precompiling = set()
+            self._refit_plan = None
             # frame args (content irrelevant — FakeFn ignores them)
             self.indices = self.tri_mat = self.valid = None
             self.materials = self.textures = self.sky = self.lights = None

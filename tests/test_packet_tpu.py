@@ -137,3 +137,55 @@ def test_packet_interpret_matches_wavefront(rng):
     assert (np.isfinite(pt) == np.isfinite(wt)).mean() > 0.999
     m = np.isfinite(pt) & np.isfinite(wt)
     np.testing.assert_allclose(pt[m], wt[m], rtol=1e-4, atol=1e-4)
+
+
+def test_packet_interpret_moller_trumbore(rng, monkeypatch):
+    """The Möller-Trumbore leaf test (RTRT_TRI_TEST=mt: precomputed-edge
+    rows, division-free accept) must agree with the watertight default on
+    hit distances and barycentrics.  TRI_TEST is monkeypatched (pack layout
+    and kernel read the module global at call/trace time)."""
+    from rtrt_tpu.bvh import packet as pk
+    from rtrt_tpu.bvh.build import build_scene_bvh
+    from rtrt_tpu.bvh.traverse import intersect_scene
+    from rtrt_tpu.bvh.types import BATCH_SIZE
+    from rtrt_tpu.core.vecmath import normalize
+
+    num = 300
+    c = rng.uniform(-8, 8, (num, 3)).astype(np.float32)
+    c[:, 1] = np.sin(c[:, 0]) * np.cos(c[:, 2])
+    e1 = rng.uniform(-0.7, 0.7, (num, 3)).astype(np.float32)
+    e2 = rng.uniform(-0.7, 0.7, (num, 3)).astype(np.float32)
+    total = 2 * BATCH_SIZE
+    z = np.zeros((total - num, 3), np.float32)
+    stack = lambda a: jnp.asarray(
+        np.concatenate([a, z]).reshape(2, BATCH_SIZE, 3))
+    valid = jnp.asarray(np.concatenate(
+        [np.ones(num, bool),
+         np.zeros(total - num, bool)]).reshape(2, BATCH_SIZE))
+    bvh = jax.jit(build_scene_bvh)(stack(c), stack(c + e1), stack(c + e2),
+                                   valid)
+
+    monkeypatch.setattr(pk, "TRI_TEST", "mt")
+    tables = pk.pack_for_packets(bvh)
+
+    n = pk.TILE
+    org = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    org[:, 1] = 9.0
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 1] = -np.abs(d[:, 1]) - 1.0
+    dirs = normalize(jnp.asarray(d))
+    org = jnp.asarray(org)
+
+    ph = pk.packet_intersect(tables, org, dirs,
+                             tlas_internal=bvh.tlas_internal, interpret=True)
+    wf = jax.jit(lambda b, o, dd: intersect_scene(b, o, dd, max_steps=8192))(
+        bvh, org, dirs)
+    pt, wt = np.asarray(ph.t), np.asarray(wf.t)
+    assert (np.isfinite(pt) == np.isfinite(wt)).mean() > 0.998
+    m = np.isfinite(pt) & np.isfinite(wt)
+    np.testing.assert_allclose(pt[m], wt[m], rtol=1e-4, atol=1e-4)
+    same_tri = np.asarray(ph.tri)[m] == np.asarray(wf.tri)[m]
+    uu = np.asarray(ph.u)[m][same_tri]
+    vv = np.asarray(ph.v)[m][same_tri]
+    np.testing.assert_allclose(uu, np.asarray(wf.u)[m][same_tri], atol=2e-3)
+    np.testing.assert_allclose(vv, np.asarray(wf.v)[m][same_tri], atol=2e-3)
