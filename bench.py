@@ -49,9 +49,11 @@ def main():
 
     # terrain_big: the >=200k-tri config; terrain_huge: ~1M tris, the top
     # of the reference's scene envelope (src/kernel.cuh:54-55 — 1,048,576).
-    # huge exceeds the packet kernel's VMEM table budget and exercises the
-    # XLA wavefront fallback (engine.packet_tables_fit).  Plain terrain
-    # (36.8k) is the headline scene.
+    # huge exceeds the FULL VMEM staging budget and rides the packet path
+    # in attr-in-HBM mode (engine.packet_fit_mode: only nodes+tris stage;
+    # the resolve loop DMAs attribute records on demand); force
+    # RTRT_VMEM_TABLE_BUDGET_MB=1 to measure the XLA wavefront fallback
+    # instead.  Plain terrain (36.8k) is the headline scene.
     chunks = {"terrain_big": 10, "terrain_huge": 21}.get(SCENE, 4)
     scene = "terrain" if SCENE.startswith("terrain") else SCENE
     settings = GlobalSettings(

@@ -205,7 +205,8 @@ def _ls(row, k):
 def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
                   stack_ref, tstack_ref, ox, oy, oz, dx, dy, dz, t_cap, *,
                   tlas_internal, any_hit, max_steps, first_hit=None,
-                  lean=False, arity=2, leaf_width=1, interpret=False):
+                  lean=False, arity=2, leaf_width=1, interpret=False,
+                  attr_hbm=False, attr_scratch=None, attr_sem=None):
     """Shared-stack packet traversal over one ray tile — pure kernel code,
     reusable from other Pallas kernels (the path-trace megakernel calls this
     once per bounce segment with the stack scratch it owns).
@@ -231,6 +232,16 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
     meaningless; tri >= 0 is the occlusion flag).  The static `any_hit`
     flag additionally terminates the WHOLE tile once every lane resolved.
 
+    attr_hbm=True leaves the ATTRIBUTE table in HBM (attr_f_ref is an ANY/
+    HBM ref): the post-loop resolve DMAs single records on demand into
+    `attr_scratch` ((2,128) VMEM rows, one per end of the dual-ended
+    resolve; `attr_sem` a 2+-slot DMA semaphore array).  The hot find loop
+    never touches attributes (requires lean=True), so only the per-distinct-
+    winner resolve pays the HBM latency — and the VMEM staging budget drops
+    from nodes+tris+attr to nodes+tris, raising the packet path's scene
+    ceiling to ~1M triangles (the reference's envelope,
+    reference: src/kernel.cuh:54-55).
+
     Pruning (packet ordered traversal): each pushed far child records the
     tile-min slab entry `tn` alongside its stack entry; the scalar prune
     bound is the max over lanes of the current best hit.  A popped node
@@ -242,6 +253,10 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
     distance from the scene's ROOT AABB (a hit beyond the root exit is
     impossible), not +inf.
     """
+    if attr_hbm:
+        # attributes only exist in the post-loop resolve; the find loop and
+        # leaf visits must stay attribute-free
+        assert lean and attr_scratch is not None and attr_sem is not None
     tiny = jnp.float32(1e-20)
     sdx = jnp.where(jnp.abs(dx) < tiny, jnp.where(dx >= 0, tiny, -tiny), dx)
     sdy = jnp.where(jnp.abs(dy) < tiny, jnp.where(dy >= 0, tiny, -tiny), dy)
@@ -680,12 +695,38 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
         pend0 = jnp.where(want, tri, imax)
         zi = jnp.zeros(shape, jnp.int32)
 
-        def resolve_one(cand, s):
+        def _attr_fetch2(lo, hi):
+            """Fetch attr records lo and hi — straight from the VMEM table,
+            or via two OVERLAPPED single-row DMAs when the attr table lives
+            in HBM (attr_hbm: both starts issue before either wait, so one
+            HBM round trip covers the pair)."""
+            if not attr_hbm:
+                return (_rec_fetch(attr_f_ref, lo, 16, interpret),
+                        _rec_fetch(attr_f_ref, hi, 16, interpret))
+            per = 128 // 16
+            cps = [pltpu.make_async_copy(
+                       attr_f_ref.at[pl.ds(i // per, 1), :],
+                       attr_scratch.at[pl.ds(k, 1), :], attr_sem.at[k])
+                   for k, i in enumerate((lo, hi))]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+
+            def rot(k, i):
+                row = attr_scratch[pl.ds(k, 1), :]
+                sh = 16 * (i % per)
+                if interpret:
+                    return jnp.roll(row, -sh, axis=1)
+                return pltpu.roll(row, jnp.where(sh == 0, 0, 128 - sh), 1)
+
+            return rot(0, lo), rot(1, hi)
+
+        def resolve_one(cand, a, s):
             pend, mat, nsx, nsy, nsz, ngx, ngy, ngz = s
             # ONE record fetch: shading normals (lanes 0-8), precomputed
             # geometric normal (9-11), material bits (12); all lanes stay
             # in the vector domain as (1,1) broadcasts
-            a = _rec_fetch(attr_f_ref, cand, 16, interpret)
             am = _lv(a, 12).astype(jnp.int32)
             m = pend == cand
             # interpolated shading normal (record rows x winning bary)
@@ -719,10 +760,11 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
 
         def rstep(s):
             lo, hi = s[-2], s[-1]
-            nw = resolve_one(lo, s[:-2])
+            rlo, rhi = _attr_fetch2(lo, hi)
+            nw = resolve_one(lo, rlo, s[:-2])
             # hi == lo when one winner remains: the second resolve is a
             # no-op re-fetch, never a corruption (its mask is empty)
-            nw = resolve_one(hi, nw)
+            nw = resolve_one(hi, rhi, nw)
             return nw + (jnp.min(nw[0]), mx_of(nw[0]))
 
         rout = jax.lax.while_loop(rcond, rstep, r0)
@@ -738,30 +780,35 @@ def _kernel(nodes_f_ref, tris_ref, attr_f_ref,
             t_out, tri_out, u_out, v_out, mat_out,
             nsx_out, nsy_out, nsz_out, ngx_out, ngy_out, ngz_out,
             *, tlas_internal, any_hit, max_steps, arity=2, leaf_width=1,
-            interpret=False):
+            attr_hbm=False, interpret=False):
     step0 = pl.program_id(0) == 0  # (before run_scoped: interpret mode
     #                                loses the grid context inside it)
 
     def run(stack_ref, tstack_ref, nodes_f_v, tris_v, attr_f_v, tdma_sem):
         # stage tables HBM->VMEM once at grid step 0 (Mosaic re-copies
         # pipelined whole-array VMEM inputs on EVERY step; ~2 s/frame at
-        # 1080p — same staging as render/megakernel.py)
+        # 1080p — same staging as render/megakernel.py).  With attr_hbm
+        # the attribute table stays in HBM; the resolve loop DMAs single
+        # records through attr_f_v ((2,128) scratch rows).
         @pl.when(step0)
         def _copy_tables():
-            pairs = [(nodes_f_ref, nodes_f_v),
-                     (tris_ref, tris_v), (attr_f_ref, attr_f_v)]
+            pairs = [(nodes_f_ref, nodes_f_v), (tris_ref, tris_v)]
+            if not attr_hbm:
+                pairs.append((attr_f_ref, attr_f_v))
             for k, (src, dst) in enumerate(pairs):
                 pltpu.make_async_copy(src, dst, tdma_sem.at[k]).start()
             for k, (src, dst) in enumerate(pairs):
                 pltpu.make_async_copy(src, dst, tdma_sem.at[k]).wait()
 
+        kw = dict(attr_hbm=True, attr_scratch=attr_f_v,
+                  attr_sem=tdma_sem, lean=True) if attr_hbm else {}
         (t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz, _) = traverse_tile(
-            nodes_f_v, tris_v, attr_f_v,
+            nodes_f_v, tris_v, attr_f_ref if attr_hbm else attr_f_v,
             stack_ref, tstack_ref, ox_ref[0], oy_ref[0], oz_ref[0],
             dx_ref[0], dy_ref[0], dz_ref[0], tmax_ref[0],
             tlas_internal=tlas_internal, any_hit=any_hit,
             max_steps=max_steps, arity=arity, leaf_width=leaf_width,
-            interpret=interpret)
+            interpret=interpret, **kw)
         t_out[0] = t
         tri_out[0] = tri
         u_out[0] = uo
@@ -778,7 +825,8 @@ def _kernel(nodes_f_ref, tris_ref, attr_f_ref,
                   pltpu.SMEM((STACK,), jnp.float32),
                   pltpu.VMEM(nodes_f_ref.shape, jnp.float32),
                   pltpu.VMEM(tris_ref.shape, jnp.float32),
-                  pltpu.VMEM(attr_f_ref.shape, jnp.float32),
+                  pltpu.VMEM((2, 128) if attr_hbm else attr_f_ref.shape,
+                             jnp.float32),
                   pltpu.SemaphoreType.DMA((3,)))
 
 
@@ -797,7 +845,7 @@ class PacketHit(NamedTuple):
 
 def packet_intersect(tables: PacketTables, org, dir, t_max=None, *,
                      any_hit=False, max_steps=PACKET_MAX_STEPS,
-                     tlas_internal, arity=2, leaf_width=1,
+                     tlas_internal, arity=2, leaf_width=1, attr_hbm=False,
                      interpret=False) -> PacketHit:
     """Trace (N,3) rays with the packet kernel.  Pads N up to a TILE
     multiple internally (pad rays carry t_max=0 and terminate instantly)."""
@@ -823,7 +871,7 @@ def packet_intersect(tables: PacketTables, org, dir, t_max=None, *,
     kernel = functools.partial(_kernel, tlas_internal=tlas_internal,
                                any_hit=any_hit, max_steps=max_steps,
                                arity=arity, leaf_width=leaf_width,
-                               interpret=interpret)
+                               attr_hbm=attr_hbm, interpret=interpret)
     grid = (nt,)
     ray_spec = pl.BlockSpec((1,) + TILE_SHAPE, lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)

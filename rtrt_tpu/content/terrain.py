@@ -59,12 +59,32 @@ def terrain_density(p: Perlin, xs, ys, zs, height_scale=6.0, cave_scale=0.0):
 
 
 def generate_world(chunks_x=4, chunks_y=2, chunks_z=4, seed=7,
-                   height_scale=6.0) -> VoxelWorld:
-    """Sample the density field over a chunk grid (corner lattice)."""
-    p = Perlin(seed)
+                   height_scale=6.0, prefer_native=None) -> VoxelWorld:
+    """Sample the density field over a chunk grid (corner lattice).
+
+    prefer_native=None auto-selects: worlds of >= 2^21 cells route through
+    the native C++ density kernel (rtrt_native.cpp::rtrt_terrain_density —
+    the numpy fbm over an 18M-point lattice costs ~10 min at the ~1M-tri
+    scene scale; the C++ twin does it in ~1 s).  The native Perlin uses a
+    different permutation RNG, so small/benchmark-pinned worlds keep the
+    numpy field (bit-identical scenes across rounds) and only the large
+    envelope scenes switch."""
     nx, ny, nz = chunks_x * CHUNK, chunks_y * CHUNK, chunks_z * CHUNK
     # center the world on the origin; y spans [-CHUNK*cy/2, +...]
     ox, oy, oz = -nx / 2, -ny / 2, -nz / 2
+    if prefer_native is None:
+        prefer_native = nx * ny * nz >= 2 ** 21
+    if prefer_native:
+        from . import native
+        if native.available():
+            density = native.terrain_density(
+                nx, ny, nz, (ox, oy, oz), seed, height_scale)
+            ctr = native.terrain_density(
+                nx - 1, ny - 1, nz - 1, (ox + 0.5, oy + 0.5, oz + 0.5),
+                seed, height_scale)
+            solid = (ctr > 0).astype(np.uint8)
+            return VoxelWorld(density, solid, chunks_x, chunks_y, chunks_z)
+    p = Perlin(seed)
     xs = np.arange(nx + 1, dtype=np.float64) + ox
     ys = np.arange(ny + 1, dtype=np.float64) + oy
     zs = np.arange(nz + 1, dtype=np.float64) + oz

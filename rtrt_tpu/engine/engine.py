@@ -64,22 +64,44 @@ def _res_for_height(h: int):
     return w, h
 
 
-def packet_tables_fit(num_batches: int) -> bool:
-    """Whether the scene's packed BVH tables fit the packet kernel's VMEM
-    staging budget.
+def packet_fit_mode(num_batches: int, sah_leaf8: bool = True) -> str:
+    """How the scene's packed BVH tables fit the packet kernel's VMEM
+    staging budget: "full" | "attr_hbm" | "none".
 
-    The packet/megakernel paths stage the whole node+triangle table set
-    into VMEM scratch (bvh/packet.py: 64 B/node + 128 B/tri); past the
-    budget (v5e: 128 MiB physical, ~114 MiB scoped, minus ray/output
-    blocks) that staging cannot compile, so huge scenes — the reference
-    envelope reaches 1M tris (src/kernel.cuh:54-55) — fall back to the XLA
-    wavefront traverser: slower but scene-size unbounded."""
+    The packet/megakernel paths stage the table set into VMEM scratch
+    (bvh/packet.py: 64 B/record).  Past the budget (v5e: 128 MiB physical,
+    ~114 MiB scoped, minus ray/output blocks) the ATTRIBUTE table can stay
+    in HBM ("attr_hbm": the resolve loop DMAs single records on demand —
+    only nodes+tris stage, raising the ceiling to ~1M tris, the reference
+    envelope at src/kernel.cuh:54-55).  Beyond even that, scenes fall back
+    to the XLA wavefront traverser ("none"): slower but unbounded.
+
+    sah_leaf8: static/refit scenes use the flat SAH tree with row-aligned
+    8-tri leaves + 4-wide collapse — its node table is ~24x smaller than
+    the two-level LBVH worst case (T/8 leaves -> ~T/6 child slots ->
+    ~T/24 nodes x 128 B)."""
     from ..bvh.types import BATCH_SIZE, BLAS_NODES
-    nodes = 2 * num_batches + num_batches * BLAS_NODES
     tris = num_batches * BATCH_SIZE
-    table_mb = (nodes * 64 + tris * (64 + 64)) / 2**20
+    if sah_leaf8:
+        nodes_mb = tris / 24 * 128 * 1.5 / 2**20  # 1.5x headroom
+    else:
+        nodes_mb = (2 * num_batches + num_batches * BLAS_NODES) * 64 / 2**20
+    tris_mb = tris * 64 / 2**20
+    attr_mb = tris * 64 / 2**20
     budget_mb = float(os.environ.get("RTRT_VMEM_TABLE_BUDGET_MB", "96"))
-    return table_mb <= budget_mb
+    if nodes_mb + tris_mb + attr_mb <= budget_mb:
+        return "full"
+    if nodes_mb + tris_mb <= budget_mb:
+        return "attr_hbm"
+    return "none"
+
+
+def packet_tables_fit(num_batches: int) -> bool:
+    """Back-compat predicate: True when the packet path can run at all
+    (fully-staged tables OR the attr-in-HBM mode)."""
+    sah8 = (os.environ.get("RTRT_SAH", "1") != "0"
+            and os.environ.get("RTRT_LEAF8", "1") != "0")
+    return packet_fit_mode(num_batches, sah_leaf8=sah8) != "none"
 
 
 class Engine:
@@ -215,7 +237,10 @@ class Engine:
 
     def _static_for(self, bucket_h: int) -> FrameStatic:
         w, h = _res_for_height(bucket_h)
-        packets_fit = packet_tables_fit(self.scene.num_batches)
+        sah8 = (os.environ.get("RTRT_SAH", "1") != "0"
+                and os.environ.get("RTRT_LEAF8", "1") != "0")
+        fit_mode = packet_fit_mode(self.scene.num_batches, sah_leaf8=sah8)
+        packets_fit = fit_mode != "none"
         b = self.scene.num_batches
         return FrameStatic(
             render_w=w, render_h=h,
@@ -233,6 +258,7 @@ class Engine:
             # after the merged-lane-reduce change cut the per-step fixed
             # cost: 0 -> 172.1 ms, 8 -> 164.7, 16 -> 150.5, 32 -> 149.6.
             bounce_subtile=int(os.environ.get("RTRT_BOUNCE_SUBTILE", "32")),
+            attr_hbm=(fit_mode == "attr_hbm"),
             sah_leaf=getattr(self, "_sah_leaf", 1),
             animation=self.animation)
 

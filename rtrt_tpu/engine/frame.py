@@ -115,6 +115,9 @@ class FrameStatic(NamedTuple):
     #   work on direction-incoherent bounce rays; 0 = whole-tile unions
     pallas_interpret: bool = False  # run Pallas kernels in interpret mode
     #   (CPU validation of kernel paths, e.g. the sharded megakernel test)
+    attr_hbm: bool = False    # megakernel: leave the attribute table in HBM
+    #   (resolve-loop record DMAs) — halves the VMEM staging budget so
+    #   ~1M-tri scenes ride the packet path (engine.packet_fit_mode)
     sah_leaf: int = 1         # leaf width of the prebuilt flat SAH tree
     #   (8 = row-aligned multi-tri leaves, bvh/sah.py::_collapse_leaves);
     #   only consulted when the static-scene prebuilt tables are in use
@@ -327,12 +330,14 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
                 scene, rays, pixel_ids, frame_idx, prev_basis, w / h,
                 use_proctex=static.flags.procedural_textures, bn=bn,
                 subtile_rows=static.bounce_subtile, leaf_width=leaf_width,
+                attr_hbm=static.attr_hbm,
                 interpret=static.pallas_interpret, debug_steps=True)
             return (steps[:, :h, :w],), state
         gbuf: GBuffer = path_trace_mega(
             scene, rays, pixel_ids, frame_idx, prev_basis, w / h,
             use_proctex=static.flags.procedural_textures, bn=bn,
             subtile_rows=static.bounce_subtile, leaf_width=leaf_width,
+            attr_hbm=static.attr_hbm,
             interpret=static.pallas_interpret, env_fn=env_fn,
             mesh=trace_mesh)
         crop = lambda x: x[:h, :w]

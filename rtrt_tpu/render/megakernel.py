@@ -326,7 +326,8 @@ def _mega_kernel(sun_ref, frame_ref,
                  tdma_sem, *sub_refs,
                  tlas_internal, n_materials, n_lights, segments,
                  max_steps, use_proctex, use_bn, img_mode, subtile_rows=0,
-                 arity=2, leaf_width=1, debug_steps=False, interpret=False):
+                 arity=2, leaf_width=1, attr_hbm=False, debug_steps=False,
+                 interpret=False):
     # --- stage the BVH/attribute tables into VMEM ONCE (grid step 0) ---
     # As pipelined VMEM inputs, Mosaic re-copied the whole table set from
     # HBM on EVERY grid step (~2 s/frame at 1080p when the tables are
@@ -339,15 +340,27 @@ def _mega_kernel(sun_ref, frame_ref,
 
     @pl.when(step0)
     def _copy_tables():
-        pairs = [(nodes_f_ref, nodes_f_v),
-                 (tris_ref, tris_v), (attr_f_ref, attr_f_v)]
+        pairs = [(nodes_f_ref, nodes_f_v), (tris_ref, tris_v)]
+        if not attr_hbm:
+            # with attr_hbm the attribute table STAYS in HBM (its VMEM
+            # twin is a (2,128) row scratch for the resolve-loop DMAs) —
+            # the staging budget drops to nodes+tris, which is what lets
+            # ~1M-tri scenes ride the packet path (reference envelope:
+            # src/kernel.cuh:54-55)
+            pairs.append((attr_f_ref, attr_f_v))
         for k, (src, dst) in enumerate(pairs):
             pltpu.make_async_copy(src, dst, tdma_sem.at[k]).start()
         for k, (src, dst) in enumerate(pairs):
             pltpu.make_async_copy(src, dst, tdma_sem.at[k]).wait()
 
     nodes_f_ref = nodes_f_v
-    tris_ref, attr_f_ref = tris_v, attr_f_v
+    if attr_hbm:
+        tris_ref = tris_v
+        attr_kw = dict(attr_hbm=True, attr_scratch=attr_f_v,
+                       attr_sem=tdma_sem)
+    else:
+        tris_ref, attr_f_ref = tris_v, attr_f_v
+        attr_kw = {}
 
     sun = _unpack_sun(lambda i: sun_ref[i])
     frame = frame_ref[0].astype(jnp.uint32)
@@ -377,6 +390,8 @@ def _mega_kernel(sun_ref, frame_ref,
     # high-distinct-winner primary tiles — see ROADMAP).  RTRT_LEAN_ATTRS=0
     # restores accept-time attribute computation for A/B timing.
     _lean = _os.environ.get("RTRT_LEAN_ATTRS", "1") != "0"
+    if attr_hbm:
+        _lean = True  # attrs exist only in the resolve loop
     _split = _os.environ.get("RTRT_SPLIT_SHADOW") == "1"  # timing experiment
 
     def traverse_full(org, dir, t_cap, fh):
@@ -386,7 +401,7 @@ def _mega_kernel(sun_ref, frame_ref,
             dir.x, dir.y, dir.z, t_cap,
             tlas_internal=tlas_internal, any_hit=False, max_steps=max_steps,
             first_hit=fh, lean=_lean, arity=arity, leaf_width=leaf_width,
-            interpret=interpret)
+            interpret=interpret, **attr_kw)
 
     def traverse_split(org, dir, t_cap, fh):
         """Two class-separated traversals per bounce segment: shadow lanes
@@ -401,14 +416,14 @@ def _mega_kernel(sun_ref, frame_ref,
             dir.x, dir.y, dir.z, cap_sh,
             tlas_internal=tlas_internal, any_hit=True, max_steps=max_steps,
             first_hit=fh, lean=True, arity=arity, leaf_width=leaf_width,
-            interpret=interpret)
+            interpret=interpret, **attr_kw)
         h_sc = traverse_tile(
             nodes_f_ref, tris_ref, attr_f_ref,
             stack_ref, tstack_ref, org.x, org.y, org.z,
             dir.x, dir.y, dir.z, cap_sc,
             tlas_internal=tlas_internal, any_hit=False, max_steps=max_steps,
             first_hit=None, lean=_lean, arity=arity, leaf_width=leaf_width,
-            interpret=interpret)
+            interpret=interpret, **attr_kw)
         # merge: shadow lanes only consume (t, tri) — occlusion flag
         merged = [jnp.where(fh, h_sh[0], h_sc[0]),
                   jnp.where(fh, h_sh[1], h_sc[1])]
@@ -447,7 +462,7 @@ def _mega_kernel(sun_ref, frame_ref,
                     tlas_internal=tlas_internal, any_hit=False,
                     max_steps=max_steps, first_hit=comp[7] > 0.0,
                     lean=_lean, arity=arity, leaf_width=leaf_width,
-                    interpret=interpret)
+                    interpret=interpret, **attr_kw)
 
             def no_trace(_):
                 shp = (sub, tw)
@@ -570,7 +585,7 @@ def megakernel_trace(tables: PacketTables, mat_rows, light_rows, sun_vec,
                      tlas_internal, n_materials, n_lights,
                      segments=SEGMENTS, max_steps=PACKET_MAX_STEPS,
                      use_proctex=True, bn=None, subtile_rows=0, arity=2,
-                     leaf_width=1, debug_steps=False,
+                     leaf_width=1, attr_hbm=False, debug_steps=False,
                      interpret=False) -> MegaOut:
     """Trace full paths for (N,3) primary rays in one Pallas launch.
 
@@ -646,7 +661,7 @@ def megakernel_trace(tables: PacketTables, mat_rows, light_rows, sun_vec,
         n_lights=n_lights, segments=segments, max_steps=max_steps,
         use_proctex=use_proctex, use_bn=use_bn, img_mode=img_mode,
         subtile_rows=subtile_rows, arity=arity, leaf_width=leaf_width,
-        debug_steps=debug_steps, interpret=interpret)
+        attr_hbm=attr_hbm, debug_steps=debug_steps, interpret=interpret)
 
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     # big tables: ANY (HBM) inputs, staged into VMEM scratch once at grid
@@ -666,7 +681,8 @@ def megakernel_trace(tables: PacketTables, mat_rows, light_rows, sun_vec,
                         pltpu.VMEM((28,) + TILE_SHAPE, jnp.float32),
                         pltpu.VMEM(tables.nodes_f32.shape, jnp.float32),
                         pltpu.VMEM(tables.tris_f32.shape, jnp.float32),
-                        pltpu.VMEM(tables.attr_f32.shape, jnp.float32),
+                        pltpu.VMEM((2, 128) if attr_hbm
+                                   else tables.attr_f32.shape, jnp.float32),
                         pltpu.SemaphoreType.DMA((3,))]
         + ([pltpu.VMEM((8 * TILE_SHAPE[0], TILE_SHAPE[1]), jnp.float32),
             pltpu.VMEM((9 * TILE_SHAPE[0], TILE_SHAPE[1]), jnp.float32),
@@ -848,7 +864,7 @@ def path_trace_mega(scene, rays, pixel_ids, frame_idx, prev_basis, aspect,
                     max_steps: int = PACKET_MAX_STEPS, use_proctex: bool = True,
                     bn=None, subtile_rows: int = 0, interpret: bool = False,
                     env_fn=None, debug_steps: bool = False, mesh=None,
-                    leaf_width: int = 1):
+                    leaf_width: int = 1, attr_hbm: bool = False):
     """Drop-in replacement for integrator.path_trace using the megakernel.
 
     debug_steps=True returns a (SEGMENTS+1, ...) per-pixel traversal
@@ -878,7 +894,8 @@ def path_trace_mega(scene, rays, pixel_ids, frame_idx, prev_basis, aspect,
               n_materials=mat_rows.shape[0], n_lights=n_lights,
               max_steps=max_steps, use_proctex=use_proctex,
               subtile_rows=subtile_rows, arity=arity, leaf_width=leaf_width,
-              interpret=interpret, debug_steps=debug_steps)
+              attr_hbm=attr_hbm, interpret=interpret,
+              debug_steps=debug_steps)
     if mesh is not None:
         out = _megakernel_trace_sharded(mesh, tables, mat_rows, light_rows,
                                         sun_vec, frame_idx, rays, pixel_ids,

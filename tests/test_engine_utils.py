@@ -457,10 +457,18 @@ def test_nan_guards_live_in_frame(capfd):
 
 
 def test_packet_tables_fit_gate():
-    """Huge scenes (reference envelope: 1M tris, src/kernel.cuh:54-55) must
-    fall back to the wavefront traverser — the packet kernel stages all
-    tables into VMEM, which caps the scene size it can serve."""
-    from rtrt_tpu.engine.engine import packet_tables_fit
-    assert packet_tables_fit(36)        # terrain (36.8k tris): ~5 MB
-    assert packet_tables_fit(226)       # terrain_big (231k tris): ~46 MB
-    assert not packet_tables_fit(1024)  # 1M-tri envelope: ~218 MB
+    """Scene-size gating (reference envelope: 1M tris, src/kernel.cuh:54-55):
+    small scenes stage ALL tables into VMEM ("full"); the ~1M-tri envelope
+    rides the packet path with the attribute table left in HBM
+    ("attr_hbm", resolve-loop record DMAs); only scenes beyond even that
+    fall back to the wavefront traverser ("none")."""
+    from rtrt_tpu.engine.engine import packet_fit_mode, packet_tables_fit
+    assert packet_fit_mode(36) == "full"       # terrain (36.8k tris)
+    assert packet_fit_mode(226) == "full"      # terrain_big (231k tris)
+    assert packet_fit_mode(1004) == "attr_hbm"  # terrain_huge (1.03M tris)
+    assert packet_fit_mode(2800) == "none"     # beyond the nodes+tris budget
+    # two-level LBVH trees (no SAH collapse) pay ~64 B/tri of nodes: the
+    # 1M envelope does NOT fit even attr_hbm there
+    assert packet_fit_mode(1004, sah_leaf8=False) == "none"
+    assert packet_tables_fit(226) and packet_tables_fit(1004)
+    assert not packet_tables_fit(2800)

@@ -189,3 +189,44 @@ def test_packet_interpret_moller_trumbore(rng, monkeypatch):
     vv = np.asarray(ph.v)[m][same_tri]
     np.testing.assert_allclose(uu, np.asarray(wf.u)[m][same_tri], atol=2e-3)
     np.testing.assert_allclose(vv, np.asarray(wf.v)[m][same_tri], atol=2e-3)
+
+
+def test_packet_interpret_attr_hbm_matches_staged(rng):
+    """attr_hbm mode (attribute table left in HBM; resolve loop DMAs single
+    records on demand) returns bit-identical hits/attributes to the fully
+    VMEM-staged path — the mechanism that raises the packet path's scene
+    ceiling to the reference's ~1M-tri envelope (src/kernel.cuh:54-55)."""
+    from rtrt_tpu.bvh.packet import (pack_for_packets, pack_nodes4,
+                                     packet_intersect)
+    from rtrt_tpu.bvh.sah import build_scene_tables_sah, bvh4_nodes
+    from rtrt_tpu.core.vecmath import normalize
+    from rtrt_tpu.engine.scene import build_demo_scene, padded_arrays
+
+    scene = build_demo_scene()
+    pad = padded_arrays(scene)
+    bvh, nrm_t, mat_s = build_scene_tables_sah(
+        scene.num_batches, jnp.asarray(pad["indices"]),
+        jnp.asarray(pad["tri_mat"]), jnp.asarray(pad["valid"]),
+        jnp.asarray(scene.vertices), jnp.asarray(scene.normals), leaf_max=8)
+    tables = pack_for_packets(bvh, nrm_t, mat_s)
+    tables = tables._replace(nodes_f32=pack_nodes4(bvh4_nodes(bvh)))
+
+    n = 1024
+    org = jnp.asarray(
+        np.array([[0, 6, -14]]) + rng.normal(0, 0.5, (n, 3)), jnp.float32)
+    dirs = normalize(jnp.asarray(rng.normal(size=(n, 3)), jnp.float32))
+
+    kw = dict(tlas_internal=max(0, bvh.tlas_internal), arity=4, leaf_width=8,
+              interpret=True)
+    h0 = packet_intersect(tables, org, dirs, **kw)
+    h1 = packet_intersect(tables, org, dirs, attr_hbm=True, **kw)
+    for name in ("tri", "mat"):
+        np.testing.assert_array_equal(np.asarray(getattr(h0, name)),
+                                      np.asarray(getattr(h1, name)),
+                                      err_msg=name)
+    for name in ("t", "u", "v", "ns", "ng"):
+        # accept-time vs resolve-time attribute interpolation may differ by
+        # 1 ULP (FMA contraction context); anything larger is a real bug
+        np.testing.assert_allclose(np.asarray(getattr(h0, name)),
+                                   np.asarray(getattr(h1, name)),
+                                   rtol=3e-7, atol=1e-7, err_msg=name)

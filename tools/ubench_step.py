@@ -65,6 +65,10 @@ def make_kernel(mode, steps, rows):
         best0 = jnp.full(shape, 1e9, jnp.float32)
 
         if mode in ("loop", "fetch", "slab", "reduce2", "reduce4", "extract2"):
+            # acc is a FULL (rows,128) tile and every mode folds its whole
+            # result into it — XLA cannot slice/DCE the body (the first
+            # version accumulated scalars and measured nothing: "slab" timed
+            # 7 ns/step, 35x under the VPU floor for 2 slab tests)
             def body(s):
                 k, acc = s
                 if mode == "loop":
@@ -74,24 +78,26 @@ def make_kernel(mode, steps, rows):
                     return k + 1, acc + nf[0]
                 hl, tl = slab(nf, 0, 1e9)
                 hr, tr = slab(nf, 6, 1e9)
+                live = jnp.where(hl, tl, 0.0) + jnp.where(hr, tr, 0.0)
                 if mode == "slab":
-                    # fold to keep live, no cross-lane reduce: accumulate
-                    return k + 1, acc + jnp.sum(tl[0, :1]) + jnp.sum(tr[0, :1])
+                    return k + 1, acc + live
                 if mode == "extract2":
-                    return k + 1, acc + nf[0] + nf[6]
+                    return k + 1, acc + live + nf[0] + nf[6]
                 minl = jnp.min(jnp.where(hl, tl, jnp.inf))
                 minr = jnp.min(jnp.where(hr, tr, jnp.inf))
                 if mode == "reduce2":
-                    return k + 1, acc + jnp.where(minl < minr, 1.0, 2.0)
+                    return k + 1, acc + live + jnp.where(minl < minr, 1.0, 2.0)
                 hl2, tl2 = slab(nf, 3, 1e9)
                 hr2, tr2 = slab(nf, 9, 1e9)
+                live = live + jnp.where(hl2, tl2, 0.0) + jnp.where(hr2, tr2, 0.0)
                 m3 = jnp.min(jnp.where(hl2, tl2, jnp.inf))
                 m4 = jnp.min(jnp.where(hr2, tr2, jnp.inf))
-                return k + 1, acc + jnp.where(minl < minr, 1.0, 2.0) \
+                return k + 1, acc + live + jnp.where(minl < minr, 1.0, 2.0) \
                     + jnp.where(m3 < m4, 1.0, 2.0)
 
-            out = jax.lax.while_loop(lambda s: s[0] < steps, body,
-                                     (jnp.int32(0), jnp.float32(0)))
+            out = jax.lax.while_loop(
+                lambda s: s[0] < steps, body,
+                (jnp.int32(0), jnp.zeros(shape, jnp.float32)))
             out_ref[...] = ox + out[1]
             return
 
