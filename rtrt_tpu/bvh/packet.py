@@ -111,12 +111,21 @@ class PacketTables(NamedTuple):
     attr_f32: jnp.ndarray   # (ceil(T/8), 128)   8 tris/row x 16 lanes
 
 
+def packed_rows(n: int, stride: int) -> int:
+    """Row count of a packed (R,128) table holding n records of `stride`
+    lanes — the exact shape math of `_pack_rows`, exposed so the engine's
+    VMEM-budget fit decision uses REAL table sizes, not estimates
+    (engine.packet_fit_mode / Engine._actual_fit_mode)."""
+    per = 128 // stride
+    return -(-(-(-n // per)) // 8) * 8
+
+
 def _pack_rows(a, stride):
     """(N, C<=stride) -> (R, 128): 128//stride records per row, rows padded
     to a multiple of 8 (aligned whole-table DMAs)."""
     n, c = a.shape
     per = 128 // stride
-    rows = -(-(-(-n // per)) // 8) * 8
+    rows = packed_rows(n, stride)
     out = jnp.zeros((rows * per, stride), a.dtype)
     out = out.at[:n, :c].set(a)
     return out.reshape(rows, 128)
@@ -427,7 +436,7 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
     # gathers per-triangle data again.  carry = hs + (leafv, bound).
     def leaf_body(e, args):
         best_t, tri, uo, vo = args[0:4]
-        leafv, bound = args[-2:]
+        leafv, drops, bound = args[-3:]
         base = ((e >> _BATCH_SHIFT) & _BATCH_MASK) * BATCH_SIZE \
             + (e & _IDX_MASK) * GROUP
         # test the leaf's triangles and reduce to a per-lane
@@ -500,9 +509,9 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
                 ngz = jnp.where(m, _lv(a, off + 11), ngz)
             out = out + (mat, nsx, nsy, nsz, ngx, ngy, ngz)
         # prune bound tightens as lanes accept hits
-        return out + (leafv + len(recs), jnp.max(new_best))
+        return out + (leafv + len(recs), drops, jnp.max(new_best))
 
-    def _visit4(row, sp, hs, leafv, bound, best_t):
+    def _visit4(row, sp, hs, leafv, drops, bound, best_t):
         """4-wide node visit (flat SAH4 trees, bvh/sah.py): one stride-32
         record fetch serves two binary levels — 4 slab tests, up to 3
         pushes via a 5-comparator scalar sort network, nearest continues.
@@ -557,20 +566,28 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
         w1 = jnp.minimum(sp + c3 + c2, STACK - 1)
         stack_ref[w1] = jnp.where(c1 > 0, p1[1], stack_ref[w1])
         tstack_ref[w1] = jnp.where(c1 > 0, p1[0], tstack_ref[w1])
+        # overflow telemetry: count valid candidates a full stack dropped
+        # (a dropped far child = silently missing geometry for this tile;
+        # the envelope bench asserts this stays 0 — RTRT_COUNT_DROPS=1)
+        drops = drops \
+            + ((p3[0] < jnp.inf) & (c3 == 0)).astype(jnp.int32) \
+            + ((p2[0] < jnp.inf) & (c2 == 0)).astype(jnp.int32) \
+            + ((p1[0] < jnp.inf) & (c1 == 0)).astype(jnp.int32)
         sp = sp + c1 + c2 + c3
         nxt = jnp.where(p0[0] < jnp.inf, p0[1], jnp.int32(-1))
-        return (sp,) + hs + (leafv, bound, p0[0], nxt)
+        return (sp,) + hs + (leafv, drops, bound, p0[0], nxt)
 
     init = (jnp.int32(0),) + hs0 + (
         jnp.int32(0),                      # steps
         jnp.int32(0),                      # leaf visits (replay-log bound)
+        jnp.int32(0),                      # dropped far-child pushes
         jnp.max(best0),                    # scalar prune bound
         jnp.float32(-jnp.inf),             # cur entry t (root: always)
         jnp.int32(0))                      # cur (TLAS root packed = 0)
     # cur = 0 is valid (TLAS root); sentinel for "no current" = -1
 
     def cond(s):
-        sp, steps, bound, cur = s[0], s[-5], s[-3], s[-1]
+        sp, steps, bound, cur = s[0], s[-6], s[-3], s[-1]
         # bound == -inf: every lane is done/resolved — nothing can accept
         # a hit anymore, so skip the stack drain entirely
         return ((sp > 0) | (cur >= 0)) & (steps < max_steps) \
@@ -579,7 +596,7 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
     def step(s):
         sp = s[0]
         hs = s[1:1 + nh]
-        steps, leafv, bound, curt, cur = s[-5:]
+        steps, leafv, drops, bound, curt, cur = s[-6:]
 
         # pop when no current node (predicated select; SMEM read is cheap)
         need = cur < 0
@@ -598,7 +615,7 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
         def visit_internal(args):
             sp = args[0]
             hs = args[1:1 + nh]
-            leafv, bound = args[-2:]
+            leafv, drops, bound = args[-3:]
             best_t = hs[0]
             idx = cur & _IDX_MASK
             batch = (cur >> _BATCH_SHIFT) & _BATCH_MASK
@@ -610,7 +627,7 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
                             tlas_internal + batch * BLAS_NODES + idx,
                             cur & (_BLAS_BIT - 1))
             if arity == 4:
-                return _visit4(row, sp, hs, leafv, bound, best_t)
+                return _visit4(row, sp, hs, leafv, drops, bound, best_t)
             nf = _rec_fetch(nodes_f_ref, row, 16, interpret)
             # child entries ride lanes 12/13 of the same record as exact
             # f32 values (< 2^24) — ONE fetch per traversal step
@@ -646,9 +663,10 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
             w = jnp.minimum(sp, STACK - 1)
             stack_ref[w] = jnp.where(c > 0, far, stack_ref[w])
             tstack_ref[w] = jnp.where(c > 0, far_t, tstack_ref[w])
+            drops = drops + (near_ok & far_ok & (c == 0)).astype(jnp.int32)
             sp = sp + c
             nxt = jnp.where(near_ok, near, jnp.int32(-1))
-            return (sp,) + hs + (leafv, bound, near_t, nxt)
+            return (sp,) + hs + (leafv, drops, bound, near_t, nxt)
 
         def visit(args):
             return jax.lax.cond((cur & _LEAF_BIT) != 0, visit_leaf,
@@ -659,23 +677,28 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
             return args + (jnp.float32(jnp.inf), jnp.int32(-1))
 
         out = jax.lax.cond(curt < bound, visit, skip,
-                           (sp,) + hs + (leafv, bound))
+                           (sp,) + hs + (leafv, drops, bound))
         sp = out[0]
         hs = out[1:1 + nh]
-        leafv, bound, curt, nxt = out[-4:]
+        leafv, drops, bound, curt, nxt = out[-5:]
         if any_hit:
             done = jnp.all((hs[1] >= 0) | (t_cap <= RAY_TMIN))
             sp = jnp.where(done, 0, sp)
             nxt = jnp.where(done, jnp.int32(-1), nxt)
-        return (sp,) + hs + (steps + 1, leafv, bound, curt, nxt)
+        return (sp,) + hs + (steps + 1, leafv, drops, bound, curt, nxt)
 
     out = jax.lax.while_loop(cond, step, init)
     hs = out[1:1 + nh]
     best_t, tri, uo, vo = hs[0:4]
-    # telemetry plane: loop steps, or accepted-leaf-visit events under
-    # RTRT_COUNT_LEAF=1
-    steps = out[-4] if _os.environ.get("RTRT_COUNT_LEAF") == "1" \
-        else out[-5]
+    # telemetry plane: loop steps; accepted-leaf-visit events under
+    # RTRT_COUNT_LEAF=1; dropped far-child pushes (stack overflow — must
+    # be 0 for a correct image) under RTRT_COUNT_DROPS=1
+    if _os.environ.get("RTRT_COUNT_LEAF") == "1":
+        steps = out[-5]
+    elif _os.environ.get("RTRT_COUNT_DROPS") == "1":
+        steps = out[-4]
+    else:
+        steps = out[-6]
     if lean:
         # Post-loop DISTINCT-WINNER attribute resolve: each iteration
         # extracts the smallest unresolved winning triangle index with a

@@ -235,19 +235,58 @@ class Engine:
     # resolution buckets / dynamic resolution
     # ------------------------------------------------------------------
 
+    def _actual_fit_mode(self):
+        """Fit mode from the REAL packed-table byte sizes (ADVICE r3: the
+        tris/24*1.5 analytic estimate under-counts when SAH leaves fill
+        poorly — up to ~5x for 1-tri leaves — and a wrong 'full' pick fails
+        Pallas staging at render time instead of falling back).  Only
+        available once the prebuilt tables exist; returns None otherwise
+        (the in-frame LBVH rebuild path has exact deterministic sizes the
+        estimate already covers)."""
+        if self.prebuilt is None:
+            return None
+        from ..bvh.packet import packed_rows
+        bvh = self.prebuilt[0]
+        row_b = 128 * 4
+        tris_b = attr_b = packed_rows(int(bvh.tris_t.shape[1]), 16) * row_b
+        nodes4 = self.prebuilt[3] if len(self.prebuilt) > 3 else None
+        if nodes4 is not None:
+            nodes_b = int(nodes4.size) * 4
+        elif self._refit_plan is not None:
+            nodes_b = packed_rows(self._refit_plan.q, 32) * row_b
+        else:
+            nodes_b = packed_rows(int(bvh.boxes_t.shape[1]), 16) * row_b
+        budget = float(os.environ.get("RTRT_VMEM_TABLE_BUDGET_MB",
+                                      "96")) * 2**20
+        if nodes_b + tris_b + attr_b <= budget:
+            return "full"
+        if nodes_b + tris_b <= budget:
+            return "attr_hbm"
+        return "none"
+
     def _static_for(self, bucket_h: int) -> FrameStatic:
         w, h = _res_for_height(bucket_h)
         sah8 = (os.environ.get("RTRT_SAH", "1") != "0"
                 and os.environ.get("RTRT_LEAF8", "1") != "0")
-        fit_mode = packet_fit_mode(self.scene.num_batches, sah_leaf8=sah8)
+        # prebuilt tables exist -> decide from their actual packed sizes;
+        # otherwise the analytic estimate (exact for the in-frame LBVH,
+        # which is what runs when there is no prebuilt)
+        fit_mode = self._actual_fit_mode() if self.prebuilt is not None \
+            else packet_fit_mode(self.scene.num_batches, sah_leaf8=False)
         packets_fit = fit_mode != "none"
         b = self.scene.num_batches
+        flags = self.flags
+        if os.environ.get("RTRT_PROCTEX") == "0":
+            # attribution A/B (tools/measure_battery.sh): drop the in-kernel
+            # procedural soil shading to isolate its share of the trace stage
+            import dataclasses as _dc
+            flags = _dc.replace(flags, procedural_textures=False)
         return FrameStatic(
             render_w=w, render_h=h,
             screen_w=self.settings.render_width,
             screen_h=self.settings.render_height,
             num_batches=b,
-            flags=self.flags,
+            flags=flags,
             use_packets=_tpu_available() and packets_fit,
             use_megakernel=(_tpu_available() and packets_fit
                             and os.environ.get("RTRT_MEGAKERNEL", "1") != "0"),

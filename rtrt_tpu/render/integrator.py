@@ -54,7 +54,12 @@ from .sky import SkyMaps, env_radiance_fit
 from .texture import SoilTextures, apply_normal_map, triplanar_sample
 from .proctex import soil_shading
 
-SEGMENTS = 5          # scene intersects per pixel (reference: ~5)
+import os as _os
+
+# scene intersects per pixel (reference: ~5).  RTRT_SEGMENTS overrides for
+# trace-attribution A/Bs and for compile-budget-bound validation runs (the
+# multichip dryrun shrinks the wavefront bounce program this way).
+SEGMENTS = int(_os.environ.get("RTRT_SEGMENTS", "5"))
 RADIANCE_CLAMP = 10.0  # reference: pathtrace.cuh:108-119
 
 

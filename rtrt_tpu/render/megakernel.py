@@ -42,7 +42,13 @@ from .kshade import (MAT_ROW, BsdfSampleC, SunParamsC, V3, bwhere, eval_bsdf_c,
                      sample_sun_c, soil_shading_c, sphere_lights_pdf_c, v3_const,
                      vdot, vlum, vwhere)
 
-SEGMENTS = 5  # scene intersects per pixel (matches integrator.SEGMENTS)
+import os as _os
+
+# scene intersects per pixel (matches integrator.SEGMENTS).  RTRT_SEGMENTS
+# overrides for trace-stage attribution A/Bs (tools/measure_battery.sh):
+# segments=1 isolates the primary-ray traversal, 3 drops the two deepest
+# bounces — the deltas split the trace stage by bounce depth.
+SEGMENTS = int(_os.environ.get("RTRT_SEGMENTS", "5"))
 LIGHT_ROW = 8  # packed sphere-light row: [cx cy cz radius ex ey ez pad]
 
 

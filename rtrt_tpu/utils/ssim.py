@@ -24,10 +24,20 @@ def _filter2(img, k):
 
 
 def ssim(a, b, data_range=255.0) -> float:
-    """Mean SSIM over channels (Wang et al. 2004 constants)."""
+    """Mean SSIM over channels (Wang et al. 2004 constants).
+
+    `data_range` MUST match the image scale: 255 for uint8-range images,
+    1.0 for [0,1]-normalized ones.  A mismatched range saturates c1/c2 and
+    the metric degenerates (~0.996 for unrelated random [0,1] images with
+    data_range=255) — guarded below because it silently voided a recorded
+    quality bar once (ADVICE r3)."""
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
     assert a.shape == b.shape, (a.shape, b.shape)
+    peak = max(a.max(), b.max(), 1e-12)
+    assert data_range <= 4.0 * peak, \
+        (f"ssim data_range={data_range} but image peak={peak:.4g} — "
+         f"normalized images need data_range=1.0")
     if a.ndim == 2:
         a = a[..., None]
         b = b[..., None]

@@ -23,6 +23,9 @@ from rtrt_tpu.render.sky import (bake_sky_maps, finalize_sky_maps,
 from rtrt_tpu.render.texture import make_soil_textures
 from rtrt_tpu.utils.config import FeatureFlags, default_params
 
+# slow tier: full fused-pipeline frames (multi-minute compile on CPU) — fast CI tier runs `pytest -m "not slow"`
+pytestmark = pytest.mark.slow
+
 W, H = 96, 54
 
 

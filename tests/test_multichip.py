@@ -24,6 +24,9 @@ from rtrt_tpu.render.sky import (bake_sky_maps, finalize_sky_maps,
 from rtrt_tpu.render.texture import make_soil_textures
 from rtrt_tpu.utils.config import FeatureFlags, default_params
 
+# slow tier: 8-device GSPMD compiles of the full frame program — fast CI tier runs `pytest -m "not slow"`
+pytestmark = pytest.mark.slow
+
 W, H = 96, 56  # H divisible by 8 row shards
 
 

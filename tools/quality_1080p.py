@@ -46,15 +46,18 @@ def main():
 
     # ---- converged reference: average N raw (denoise-off) frames ----
     # postprocess stays ON in both runs (tone map etc. are deterministic),
-    # so the comparison isolates 1-spp + SVGF vs N-spp.
+    # so the comparison isolates 1-spp + SVGF vs N-spp.  Frames are
+    # gamma-linearized (x^2.2) before averaging and re-encoded after —
+    # averaging tonemapped sRGB-ish values directly is a biased stand-in
+    # for an N-spp converged render (ADVICE r3, low).
     eng_ref = Engine(settings,
                      flags=FeatureFlags(denoise=False))
     acc = None
     for i in range(args.spp):
         img = eng_ref.render_frame_device(dt=1 / 60)
-        acc = img.astype(jnp.float32) if acc is None \
-            else acc + img.astype(jnp.float32)
-    ref = np.asarray(acc) / args.spp / 255.0
+        lin = (img.astype(jnp.float32) / 255.0) ** 2.2
+        acc = lin if acc is None else acc + lin
+    ref = np.asarray((acc / args.spp) ** (1 / 2.2))
 
     # ---- denoised 1-spp stream (the product pipeline) ----
     eng = Engine(settings)
@@ -64,7 +67,7 @@ def main():
         img = eng.render_frame_device(dt=1 / 60)
         if (i + 1) in (1, 2, 4, 8, 16, 24, 32, args.frames):
             s = ssim(np.asarray(img).astype(np.float64) / 255.0,
-                     ref.astype(np.float64))
+                     ref.astype(np.float64), data_range=1.0)
             traj.append((i + 1, float(s)))
             print(f"frame {i + 1:3d}: SSIM vs {args.spp}-spp converged = "
                   f"{s:.4f}", flush=True)
