@@ -775,23 +775,34 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
         def mx_of(pend):
             return jnp.max(jnp.where(pend == imax, -1, pend))
 
+        if _os.environ.get("RTRT_RESOLVE_OFF") == "1":
+            # timing-only A/B: skip the resolve loop entirely (attributes
+            # come back zero — the image is wrong, the frame time isolates
+            # the find-loop + shading cost).  Never set in production.
+            return (jnp.where(tri >= 0, best_t, jnp.inf), tri, uo, vo, zi,
+                    zf(), zf(), zf(), zf(), zf(), zf(), steps)
+
         st = (pend0, zi, zf(), zf(), zf(), zf(), zf(), zf())
-        r0 = st + (jnp.min(pend0), mx_of(pend0))
+        r0 = st + (jnp.min(pend0), mx_of(pend0), jnp.int32(0))
 
         def rcond(s):
-            return s[-2] != imax
+            return s[-3] != imax
 
         def rstep(s):
-            lo, hi = s[-2], s[-1]
+            lo, hi = s[-3], s[-2]
             rlo, rhi = _attr_fetch2(lo, hi)
-            nw = resolve_one(lo, rlo, s[:-2])
+            nw = resolve_one(lo, rlo, s[:-3])
             # hi == lo when one winner remains: the second resolve is a
             # no-op re-fetch, never a corruption (its mask is empty)
             nw = resolve_one(hi, rhi, nw)
-            return nw + (jnp.min(nw[0]), mx_of(nw[0]))
+            return nw + (jnp.min(nw[0]), mx_of(nw[0]), s[-1] + 1)
 
         rout = jax.lax.while_loop(rcond, rstep, r0)
         mat, nsx, nsy, nsz, ngx, ngy, ngz = rout[1:8]
+        if _os.environ.get("RTRT_COUNT_RESOLVE") == "1":
+            # telemetry: distinct-winner resolve iterations (dual-ended —
+            # ~2 winners each) instead of traversal steps
+            steps = rout[-1]
     else:
         mat, nsx, nsy, nsz, ngx, ngy, ngz = hs[4:11]
     return (jnp.where(tri >= 0, best_t, jnp.inf), tri, uo, vo, mat,

@@ -141,7 +141,7 @@ class Engine:
 
         # ---- sky (regenerated on param change) ----
         self._sky_key = None
-        self._bake_sky = jax.jit(bake_sky_maps)
+        self._bake_sky = jax.jit(bake_sky_maps, static_argnames=("model",))
         self.sky = None
         self._maybe_regen_sky()
 
@@ -399,7 +399,8 @@ class Engine:
             sun_intensity=float(sp.sun_intensity),
             rayleigh_scale=float(sp.rayleigh), mie_scale=float(sp.mie),
             mie_g=float(sp.mie_g))
-        self.sky = finalize_sky_maps(self._bake_sky(sky_params))
+        self.sky = finalize_sky_maps(self._bake_sky(
+            sky_params, model=self.settings.sky_model))
 
     # ------------------------------------------------------------------
     # per-frame

@@ -187,10 +187,22 @@ def shade_segment(st: PathState, hit, ctx: ShadeCtx, pix, frame, seg: int,
     mtype, albedo, rough, ior, f0, emission, textured = material_select_c(
         ctx.read_mat, ctx.n_materials, hmat)
     if ctx.use_proctex:
-        tex_alb, tex_rough, ns_tex = soil_shading_c(pos, ns, cone_w)
-        albedo = vwhere(textured, albedo * tex_alb, albedo)
-        rough = jnp.where(textured, tex_rough, rough)
-        ns = vwhere(textured, ns_tex, ns)
+        # procedural soil is ~16 ms/frame of dense VPU work when run
+        # unconditionally (measured r4 A/B: 143.8 -> 127.6 with it off);
+        # most tiles have NO textured lanes in late segments (done/sky
+        # lanes carry mat_id -1 or delta materials), so gate the whole
+        # evaluation on a tile-level any() — one scalar sync buys the
+        # skip.  Semantics identical: masked-out lanes never read tex_*.
+        def _do_tex(a):
+            alb, rgh, n = a
+            tex_alb, tex_rough, ns_tex = soil_shading_c(pos, ns, cone_w)
+            return (vwhere(textured, alb * tex_alb, alb),
+                    jnp.where(textured, tex_rough, rgh),
+                    vwhere(textured, ns_tex, n))
+
+        albedo, rough, ns = jax.lax.cond(
+            jnp.any(textured & live), _do_tex, lambda a: a,
+            (albedo, rough, ns))
 
     # emissive surfaces add radiance and terminate
     emissive = live & (mtype == MAT_EMISSIVE)
@@ -389,24 +401,33 @@ def _mega_kernel(sun_ref, frame_ref,
                     V3(rd(dx_ref), rd(dy_ref), rd(dz_ref)), rd(cone_ref))
 
     import os as _os
-    # Attribute-free find loop + post-loop distinct-winner resolve
-    # (bvh/packet.py traverse_tile lean path).  Default ON: measured
-    # 372.7 -> 345.7 ms/frame on terrain 1080p (the find loop alone is
-    # ~40% cheaper per step; the resolve loop gives most of that back on
-    # high-distinct-winner primary tiles — see ROADMAP).  RTRT_LEAN_ATTRS=0
-    # restores accept-time attribute computation for A/B timing.
-    _lean = _os.environ.get("RTRT_LEAN_ATTRS", "1") != "0"
+    # Attribute strategy (r4 A/Bs, terrain 1080p, all with segment skips):
+    # all-lean 137.2 ms, all-non-lean ~144, per-segment (non-lean seg0,
+    # lean bounces) ALSO ~144 — the primary segment's ~9.3k resolve
+    # iterations are NOT the 2 us/iter the r2 model assumed; carrying the
+    # 7 attr planes through the full-tile primary find loop costs more
+    # than its resolve saves.  Default all-lean; RTRT_LEAN_ATTRS=0 forces
+    # all-non-lean and =seg forces per-segment, both kept for A/B timing.
+    _lean_env = _os.environ.get("RTRT_LEAN_ATTRS", "1")
     if attr_hbm:
-        _lean = True  # attrs exist only in the resolve loop
+        _lean_env = "1"  # attrs exist only in the resolve loop
+
+    def _lean_for(seg):
+        if _lean_env == "seg":
+            return seg >= 1
+        return _lean_env != "0"
+
+    _lean = _lean_env != "0"   # bounce-path default (subtile/split paths)
     _split = _os.environ.get("RTRT_SPLIT_SHADOW") == "1"  # timing experiment
 
-    def traverse_full(org, dir, t_cap, fh):
+    def traverse_full(org, dir, t_cap, fh, lean=None):
         return traverse_tile(
             nodes_f_ref, tris_ref, attr_f_ref,
             stack_ref, tstack_ref, org.x, org.y, org.z,
             dir.x, dir.y, dir.z, t_cap,
             tlas_internal=tlas_internal, any_hit=False, max_steps=max_steps,
-            first_hit=fh, lean=_lean, arity=arity, leaf_width=leaf_width,
+            first_hit=fh, lean=_lean if lean is None else lean,
+            arity=arity, leaf_width=leaf_width,
             interpret=interpret, **attr_kw)
 
     def traverse_split(org, dir, t_cap, fh):
@@ -497,7 +518,8 @@ def _mega_kernel(sun_ref, frame_ref,
 
     total_steps = jnp.int32(0)
     seg_steps = []
-    for seg in range(segments):
+
+    def segment_body(st, seg):
         t_cap = jnp.where(st.done, 0.0,
                           jnp.where(st.is_shadow, st.shadow_tmax, jnp.inf))
 
@@ -534,9 +556,9 @@ def _mega_kernel(sun_ref, frame_ref,
         elif _split and seg >= 1:
             hit = traverse_split(st.org, st.dir, t_cap, fh)
         else:
-            hit = traverse_full(st.org, st.dir, t_cap, fh)
-        total_steps = total_steps + hit[-1]
-        seg_steps.append(hit[-1])
+            hit = traverse_full(st.org, st.dir, t_cap, fh,
+                                lean=_lean_for(seg))
+        stp = hit[-1]
         hit = hit[:-1]
 
         # --- unpark ---
@@ -557,6 +579,40 @@ def _mega_kernel(sun_ref, frame_ref,
 
         st = shade_segment(st, hit, ctx, pix, frame, seg,
                            is_last=(seg == segments - 1))
+        return st, stp
+
+    # Mosaic cannot legalize scf.if carrying (S,128) i1 vectors (the same
+    # landmine as i1 while-loop carries, ROADMAP) — round-trip the six
+    # PathState mask planes through i32 across the segment cond.
+    _BOOLS = ("done", "is_shadow", "prev_delta", "inside", "esc_delta",
+              "got_primary")
+
+    def _masks_i32(st):
+        return st._replace(**{k: getattr(st, k).astype(jnp.int32)
+                              for k in _BOOLS})
+
+    def _masks_bool(st):
+        return st._replace(**{k: getattr(st, k) != 0 for k in _BOOLS})
+
+    for seg in range(segments):
+        if seg == 0:
+            st, stp = segment_body(st, seg)
+        else:
+            # whole-segment skip for all-done tiles: sky tiles and the
+            # late segments (measured r4: segments 4+5 together ran ~1k
+            # traversal steps but still cost 7.6 ms — nearly all of it
+            # dense shading on resolved lanes).  One any() sync per tile
+            # per segment buys skipping park+traverse+unpark+shade.
+            def _run(s, seg=seg):
+                out, n = segment_body(_masks_bool(s), seg)
+                return _masks_i32(out), n
+
+            st, stp = jax.lax.cond(
+                jnp.any(~st.done), _run,
+                lambda s: (s, jnp.int32(0)), _masks_i32(st))
+            st = _masks_bool(st)
+        total_steps = total_steps + stp
+        seg_steps.append(stp)
 
     # single packed output plane-stack (stays in HBM: too big for XLA to
     # elect into VMEM — see megakernel_trace)

@@ -213,6 +213,91 @@ def atmosphere_radiance(view_dirs, params: SkyParams):
     return radiance
 
 
+PREETHAM_TURBIDITY = 2.5
+# Radiometric calibration: the Preetham model returns Y in kcd/m^2; the
+# engine's physical model returns radiance in its own sun_intensity-scaled
+# units.  The constant maps the Preetham scale onto the physical scale so
+# exposure, sun-disk balance and env CDF weights stay comparable:
+# mean hemisphere luminance, physical model @ elev 0.7 / I=20  = 0.3376
+# mean hemisphere luminance, Preetham T=2.5 @ elev 0.7          = 9.107
+# (both measured over a 3000-dir Fibonacci hemisphere, tools/sky_compare.py)
+PREETHAM_LUM_SCALE = 0.3376 / 9.107
+
+
+def preetham_radiance(view_dirs, params: SkyParams,
+                      turbidity: float = PREETHAM_TURBIDITY):
+    """Fitted analytic daylight sky (Preetham et al. 1999) along (...,3)
+    view dirs -> (...,3) linear-sRGB radiance.
+
+    This is the framework's ACTIVE fitted-sky option — the same model
+    family as the reference's Hosek-Wilkie sky (reference: src/sky.cuh:
+    91-320; Hosek-Wilkie 2012 is the direct successor fit of this model),
+    implemented from the published Perez/Preetham formulas rather than the
+    reference's shipped coefficient dataset (src/skyData.h).  The numpy
+    twin in render/skyref.py carries the constants; tests pin this jnp
+    version against it (tests/test_sky_parity.py).
+
+    Selected via bake_sky_maps(model="preetham") / GlobalSettings.sky_model.
+    """
+    from .skyref import (_PEREZ_X, _PEREZ_Y, _ZENITH_X, _ZENITH_Y,
+                         perez_coeffs_chroma, preetham_coeffs_Y)
+
+    up = jnp.clip(view_dirs[..., 1], 1e-3, 1.0)   # horizon clamp
+    cos_t = jnp.maximum(up, 1e-3)
+    sun = params.sun_dir
+    cos_g = jnp.clip(jnp.sum(view_dirs * sun, axis=-1), -1.0, 1.0)
+    gamma = jnp.arccos(cos_g)
+    cos_g2 = cos_g * cos_g
+    theta_s = jnp.arccos(jnp.clip(sun[1], -1.0, 1.0))
+    cos_ts = jnp.clip(sun[1], 1e-3, 1.0)
+
+    t = float(turbidity)
+
+    def perez_f(cos_theta, gam, cg2, a, b, c, d, e):
+        return ((1.0 + a * jnp.exp(b / cos_theta))
+                * (1.0 + c * jnp.exp(d * gam) + e * cg2))
+
+    def channel(coef, zenith_val):
+        f = perez_f(cos_t, gamma, cos_g2, *coef)
+        f0 = perez_f(1.0, theta_s, cos_ts * cos_ts, *coef)
+        return zenith_val * f / jnp.maximum(f0, 1e-9)
+
+    # zenith values (polynomials of turbidity x sun zenith; skyref tables)
+    chi = (4.0 / 9.0 - t / 120.0) * (jnp.pi - 2.0 * theta_s)
+    yz = jnp.maximum((4.0453 * t - 4.9710) * jnp.tan(chi)
+                     - 0.2155 * t + 2.4192, 1e-3)
+    tv = jnp.array([t * t, t, 1.0], jnp.float32)
+
+    def zen_chroma(m):
+        th = jnp.stack([theta_s ** 3, theta_s ** 2, theta_s,
+                        jnp.ones_like(theta_s)])
+        return tv @ jnp.asarray(m, jnp.float32) @ th
+
+    yy = channel(preetham_coeffs_Y(t), yz)
+    x = channel(perez_coeffs_chroma(t, _PEREZ_X), zen_chroma(_ZENITH_X))
+    y = channel(perez_coeffs_chroma(t, _PEREZ_Y), zen_chroma(_ZENITH_Y))
+
+    y_safe = jnp.maximum(y, 1e-6)
+    # PREETHAM_LUM_SCALE calibrates at I=20; physical radiance scales
+    # linearly with sun_intensity
+    yy = jnp.maximum(yy, 0.0) \
+        * PREETHAM_LUM_SCALE * (params.sun_intensity / 20.0)
+    big_x = x / y_safe * yy
+    big_z = (1.0 - x - y) / y_safe * yy
+    xyz = jnp.stack([big_x, yy, big_z], axis=-1)
+    m = jnp.array([[3.2406, -1.5372, -0.4986],
+                   [-0.9689, 1.8758, 0.0415],
+                   [0.0557, -0.2040, 1.0570]], jnp.float32)
+    rgb = jnp.maximum(xyz @ m.T, 0.0)
+
+    # below-horizon ground tint (same blend as the physical model)
+    sun_up = jnp.maximum(sun[1], 0.0)
+    ground = params.ground_albedo * (0.3 + 0.7 * sun_up) \
+        * params.sun_intensity * 0.01
+    return jnp.where((view_dirs[..., 1] <= 0.0)[..., None],
+                     rgb + ground, rgb)
+
+
 def transmittance_to_sun(params: SkyParams):
     """Transmittance from the observer toward the sun (for direct sun disk)."""
     org = vec3(0.0, PLANET_RADIUS + jnp.maximum(params.altitude, 1.0), 0.0)
@@ -259,13 +344,22 @@ class SkyMaps(NamedTuple):
     #   per-ray environment eval (see env_radiance_fit)
 
 
-def bake_sky_maps(params: SkyParams, sky_res=SKY_RES, sun_res=SUN_RES) -> SkyMaps:
+def bake_sky_maps(params: SkyParams, sky_res=SKY_RES, sun_res=SUN_RES,
+                  model: str = "physical") -> SkyMaps:
+    """model: "physical" (Rayleigh-Mie single scattering, the default) or
+    "preetham" (fitted analytic daylight — the reference's active-sky
+    model family, src/sky.cuh:91-320).  Static arg: part of the jit key.
+    Everything downstream (CDFs, alias tables, Chebyshev env fit, MIS
+    pdfs) derives from the baked map, so the whole engine follows the
+    selected model with no other changes."""
     h, w = sky_res
     vv, uu = jnp.meshgrid(
         (jnp.arange(h, dtype=jnp.float32) + 0.5) / h,
         (jnp.arange(w, dtype=jnp.float32) + 0.5) / w, indexing="ij")
     dirs = equal_area_uv_to_dir(jnp.stack([uu, vv], axis=-1))
-    sky = atmosphere_radiance(dirs, params)
+    radiance_fn = {"physical": atmosphere_radiance,
+                   "preetham": preetham_radiance}[model]
+    sky = radiance_fn(dirs, params)
     omega = texel_solid_angle(h, w)
     sky_lum = luminance(sky) * omega
     sky_cdf, sky_flux = pdf_to_cdf(sky_lum.reshape(-1))

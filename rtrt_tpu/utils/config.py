@@ -51,6 +51,8 @@ class GlobalSettings:
     texture_size: int = 512
     terrain_chunks: int = 4
     terrain_seed: int = 7
+    sky_model: str = "physical"      # physical (Rayleigh-Mie) | preetham
+    #   (fitted analytic daylight — the reference's active-sky family)
     frame_cap_fps: float = 75.0      # reference: 75-fps busy-wait floor
     dynamic_resolution: DynamicResolution = dataclasses.field(
         default_factory=DynamicResolution)
@@ -75,6 +77,7 @@ def load_config(path: str | None) -> GlobalSettings:
         texture_size=t.get("texture_size", 512),
         terrain_chunks=t.get("terrain_chunks", 4),
         terrain_seed=t.get("terrain_seed", 7),
+        sky_model=t.get("sky_model", "physical"),
         frame_cap_fps=t.get("frame_cap_fps", 75.0),
         dynamic_resolution=DynamicResolution(
             enabled=dr.get("enabled", True),
