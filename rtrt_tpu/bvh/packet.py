@@ -176,9 +176,33 @@ def pack_for_packets(bvh: SceneBvh, tri_nrm_t=None, tri_mat=None) -> PacketTable
 
 def pack_nodes4(nodes4) -> jnp.ndarray:
     """(q,32) 4-wide node records (bvh/sah.py::bvh4_nodes) -> (R,128)
-    packed table, 4 records per row — drop-in for PacketTables.nodes_f32
-    with traversal arity=4."""
-    return _pack_rows(jnp.asarray(nodes4), 32)
+    table with ONE record per row (lanes 32..127 padding) — drop-in for
+    PacketTables.nodes_f32 with traversal arity=4.
+
+    Why one record per row: the r4 surgical A/B (RTRT_STATIC_FETCH)
+    measured the packed-record fetch machinery — dynamic sublane read +
+    DYNAMIC lane rotate — at ~670 ns of the 1.29 us traversal step; the
+    dynamic pltpu.roll is the expensive half.  Row-per-record trades 4x
+    node-table VMEM (~22 MB at the 1M-tri envelope — still inside the
+    attr_hbm budget) for a roll-free fetch: one dynamic ROW read, record
+    lanes at static offsets."""
+    n4 = jnp.asarray(nodes4)
+    q = n4.shape[0]
+    rows = -(-q // 8) * 8
+    out = jnp.zeros((rows, 128), n4.dtype)
+    return out.at[:q, :32].set(n4)
+
+
+# Timing-only kernel surgery flags (tools/probe_traverse.py A/Bs — images
+# are WRONG under these; never set in production):
+#   RTRT_STATIC_FETCH=1  record fetches read row 0 with no rotate —
+#                        isolates the dynamic-slice + lane-roll machinery
+#   RTRT_NO_PRUNE=1      every pop is a full visit (ordered-traversal
+#                        prune cond removed) — isolates the skip cond
+#   RTRT_NO_LEAF=1       leaf pops skip their triangle tests
+_STATIC_FETCH = _os.environ.get("RTRT_STATIC_FETCH") == "1"
+_NO_PRUNE = _os.environ.get("RTRT_NO_PRUNE") == "1"
+_NO_LEAF = _os.environ.get("RTRT_NO_LEAF") == "1"
 
 
 def _rec_fetch(ref, i, stride, interpret):
@@ -193,6 +217,8 @@ def _rec_fetch(ref, i, stride, interpret):
     two-stage broadcasts, optimization barriers, nor lane-0 rolls avoid
     the folding (probed on v5e, 2026-08).  Scalar extracts it is."""
     per = 128 // stride
+    if _STATIC_FETCH:
+        return ref[pl.ds(0, 1), :]
     row = ref[pl.ds(i // per, 1), :]          # (1,128)
     sh = stride * (i % per)
     if interpret:
@@ -450,12 +476,16 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
         # duplicates of their first triangle (harmless real geometry).
         if leaf_width > 1:
             assert leaf_width == 128 // 16 and GROUP == 1
-            v8 = tris_ref[pl.ds(base // leaf_width, 1), :]
+            v8 = tris_ref[pl.ds(0 if _STATIC_FETCH else base // leaf_width,
+                                1), :]
             recs = [(base + k, v8, 16 * k) for k in range(leaf_width)]
         else:
             recs = [(base + k,
                      _rec_fetch(tris_ref, base + k, 16, interpret), 0)
                     for k in range(GROUP)]
+        # (a log-depth best-of-8 combine tree was tried here r4 — the
+        # record-by-record chain below measured the same frame time, so
+        # the simple form stays; the step is not select-chain-bound)
         gt = jnp.full(shape, jnp.inf, jnp.float32)
         gtri = jnp.zeros(shape, jnp.int32)
         gu = zf()
@@ -516,7 +546,8 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
         record fetch serves two binary levels — 4 slab tests, up to 3
         pushes via a 5-comparator scalar sort network, nearest continues.
         Same fetch machinery cost as the binary record; ~halves steps."""
-        nf = _rec_fetch(nodes_f_ref, row, 32, interpret)
+        # row-per-record node table (pack_nodes4): roll-free dynamic read
+        nf = nodes_f_ref[pl.ds(0 if _STATIC_FETCH else row, 1), :]
         es, rows_ = [], []
         for c in range(4):
             h_c, t_c = slab(_lv(nf, 6 * c), _lv(nf, 6 * c + 1),
@@ -609,6 +640,8 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
         def visit_leaf(args):
             # deferred leaf pop: test its triangles, then pop again
             sp = args[0]
+            if _NO_LEAF:  # timing-only surgery: leaf pops become no-ops
+                return args + (jnp.float32(jnp.inf), jnp.int32(-1))
             carry = leaf_body(cur, args[1:])
             return (sp,) + carry + (jnp.float32(jnp.inf), jnp.int32(-1))
 
@@ -676,8 +709,11 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
             # pruned pop: beyond every lane's best — drop it
             return args + (jnp.float32(jnp.inf), jnp.int32(-1))
 
-        out = jax.lax.cond(curt < bound, visit, skip,
-                           (sp,) + hs + (leafv, drops, bound))
+        if _NO_PRUNE:  # timing-only surgery: every pop is a full visit
+            out = visit((sp,) + hs + (leafv, drops, bound))
+        else:
+            out = jax.lax.cond(curt < bound, visit, skip,
+                               (sp,) + hs + (leafv, drops, bound))
         sp = out[0]
         hs = out[1:1 + nh]
         leafv, drops, bound, curt, nxt = out[-5:]
@@ -814,7 +850,7 @@ def _kernel(nodes_f_ref, tris_ref, attr_f_ref,
             t_out, tri_out, u_out, v_out, mat_out,
             nsx_out, nsy_out, nsz_out, ngx_out, ngy_out, ngz_out,
             *, tlas_internal, any_hit, max_steps, arity=2, leaf_width=1,
-            attr_hbm=False, interpret=False):
+            attr_hbm=False, lean=False, count_steps=False, interpret=False):
     step0 = pl.program_id(0) == 0  # (before run_scoped: interpret mode
     #                                loses the grid context inside it)
 
@@ -835,8 +871,9 @@ def _kernel(nodes_f_ref, tris_ref, attr_f_ref,
                 pltpu.make_async_copy(src, dst, tdma_sem.at[k]).wait()
 
         kw = dict(attr_hbm=True, attr_scratch=attr_f_v,
-                  attr_sem=tdma_sem, lean=True) if attr_hbm else {}
-        (t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz, _) = traverse_tile(
+                  attr_sem=tdma_sem, lean=True) if attr_hbm \
+            else dict(lean=lean)
+        (t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz, stp) = traverse_tile(
             nodes_f_v, tris_v, attr_f_ref if attr_hbm else attr_f_v,
             stack_ref, tstack_ref, ox_ref[0], oy_ref[0], oz_ref[0],
             dx_ref[0], dy_ref[0], dz_ref[0], tmax_ref[0],
@@ -847,7 +884,10 @@ def _kernel(nodes_f_ref, tris_ref, attr_f_ref,
         tri_out[0] = tri
         u_out[0] = uo
         v_out[0] = vo
-        mat_out[0] = mat
+        # count_steps: telemetry plane for the standalone kernel (the
+        # megakernel has its own debug_steps route) — the tile's loop
+        # count rides the mat plane (tools/probe_traverse.py)
+        mat_out[0] = jnp.full(t.shape, stp) if count_steps else mat
         nsx_out[0] = nsx
         nsy_out[0] = nsy
         nsz_out[0] = nsz
@@ -880,6 +920,7 @@ class PacketHit(NamedTuple):
 def packet_intersect(tables: PacketTables, org, dir, t_max=None, *,
                      any_hit=False, max_steps=PACKET_MAX_STEPS,
                      tlas_internal, arity=2, leaf_width=1, attr_hbm=False,
+                     lean=False, count_steps=False,
                      interpret=False) -> PacketHit:
     """Trace (N,3) rays with the packet kernel.  Pads N up to a TILE
     multiple internally (pad rays carry t_max=0 and terminate instantly)."""
@@ -905,7 +946,8 @@ def packet_intersect(tables: PacketTables, org, dir, t_max=None, *,
     kernel = functools.partial(_kernel, tlas_internal=tlas_internal,
                                any_hit=any_hit, max_steps=max_steps,
                                arity=arity, leaf_width=leaf_width,
-                               attr_hbm=attr_hbm, interpret=interpret)
+                               attr_hbm=attr_hbm, lean=lean,
+                               count_steps=count_steps, interpret=interpret)
     grid = (nt,)
     ray_spec = pl.BlockSpec((1,) + TILE_SHAPE, lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)

@@ -83,7 +83,9 @@ def packet_fit_mode(num_batches: int, sah_leaf8: bool = True) -> str:
     from ..bvh.types import BATCH_SIZE, BLAS_NODES
     tris = num_batches * BATCH_SIZE
     if sah_leaf8:
-        nodes_mb = tris / 24 * 128 * 1.5 / 2**20  # 1.5x headroom
+        # 512 B/node: 4-wide records padded to one 128-lane row each
+        # (roll-free fetch, bvh/packet.py::pack_nodes4)
+        nodes_mb = tris / 24 * 512 * 1.5 / 2**20  # 1.5x headroom
     else:
         nodes_mb = (2 * num_batches + num_batches * BLAS_NODES) * 64 / 2**20
     tris_mb = tris * 64 / 2**20
@@ -138,6 +140,13 @@ class Engine:
         self.materials = self.scene.materials
         self.lights = getattr(self.scene, "lights", None)
         self.textures = make_soil_textures(self.settings.texture_size)
+        self._ftex = None
+        if self.flags.fourier_textures:
+            # fit the image textures to the analytic Fourier basis once at
+            # init (host lstsq) — the megakernel then shades textured
+            # materials from real image-derived data with zero gathers
+            from ..render.ftex import fit_soil_fourier
+            self._ftex = fit_soil_fourier(self.textures)
 
         # ---- sky (regenerated on param change) ----
         self._sky_key = None
@@ -299,6 +308,7 @@ class Engine:
             bounce_subtile=int(os.environ.get("RTRT_BOUNCE_SUBTILE", "32")),
             attr_hbm=(fit_mode == "attr_hbm"),
             sah_leaf=getattr(self, "_sah_leaf", 1),
+            ftex=getattr(self, "_ftex", None),
             animation=self.animation)
 
     def _set_bucket(self, bucket_h: int):

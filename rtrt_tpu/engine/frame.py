@@ -121,6 +121,11 @@ class FrameStatic(NamedTuple):
     sah_leaf: int = 1         # leaf width of the prebuilt flat SAH tree
     #   (8 = row-aligned multi-tri leaves, bvh/sah.py::_collapse_leaves);
     #   only consulted when the static-scene prebuilt tables are in use
+    ftex: tuple = None        # render/ftex.FourierTextures — fitted
+    #   image-texture set for the megakernel's textured materials.  Nested
+    #   float tuples (hashable): every coefficient folds into the compiled
+    #   kernel as an immediate; a texture refit recompiles the frame, like
+    #   the reference's init-time texture load (src/init.cu:524-580)
     animation: str = "none"   # none | wave — in-jit vertex displacement
     stop_after: str = "full"  # full | bvh | trace | denoise — profiling
     #   harness cut points: the frame program ends after the named stage so
@@ -337,7 +342,7 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
             scene, rays, pixel_ids, frame_idx, prev_basis, w / h,
             use_proctex=static.flags.procedural_textures, bn=bn,
             subtile_rows=static.bounce_subtile, leaf_width=leaf_width,
-            attr_hbm=static.attr_hbm,
+            attr_hbm=static.attr_hbm, ftex=static.ftex,
             interpret=static.pallas_interpret, env_fn=env_fn,
             mesh=trace_mesh)
         crop = lambda x: x[:h, :w]

@@ -88,6 +88,8 @@ class ShadeCtx(NamedTuple):
     n_lights: int
     use_proctex: bool
     rand2: Callable = None    # dim -> (u1, u2): per-pixel LD sampler
+    ftex: Any = None          # FourierTextures: image-derived materials
+    #   (render/ftex.py) — overrides procedural soil when set
 
 
 class MegaOut(NamedTuple):
@@ -186,16 +188,23 @@ def shade_segment(st: PathState, hit, ctx: ShadeCtx, pix, frame, seg: int,
     ns, ng = orient_normals_c(V3(nsx, nsy, nsz), V3(ngx, ngy, ngz), wo)
     mtype, albedo, rough, ior, f0, emission, textured = material_select_c(
         ctx.read_mat, ctx.n_materials, hmat)
-    if ctx.use_proctex:
+    if ctx.use_proctex or ctx.ftex is not None:
         # procedural soil is ~16 ms/frame of dense VPU work when run
         # unconditionally (measured r4 A/B: 143.8 -> 127.6 with it off);
         # most tiles have NO textured lanes in late segments (done/sky
         # lanes carry mat_id -1 or delta materials), so gate the whole
         # evaluation on a tile-level any() — one scalar sync buys the
         # skip.  Semantics identical: masked-out lanes never read tex_*.
+        # ctx.ftex switches textured materials to the FITTED image
+        # textures (render/ftex.py — analytic Fourier eval, zero gathers).
         def _do_tex(a):
             alb, rgh, n = a
-            tex_alb, tex_rough, ns_tex = soil_shading_c(pos, ns, cone_w)
+            if ctx.ftex is not None:
+                from .ftex import ftex_shading_c
+                tex_alb, tex_rough, ns_tex = ftex_shading_c(
+                    ctx.ftex, pos, ns, cone_w)
+            else:
+                tex_alb, tex_rough, ns_tex = soil_shading_c(pos, ns, cone_w)
             return (vwhere(textured, alb * tex_alb, alb),
                     jnp.where(textured, tex_rough, rgh),
                     vwhere(textured, ns_tex, n))
@@ -344,8 +353,8 @@ def _mega_kernel(sun_ref, frame_ref,
                  tdma_sem, *sub_refs,
                  tlas_internal, n_materials, n_lights, segments,
                  max_steps, use_proctex, use_bn, img_mode, subtile_rows=0,
-                 arity=2, leaf_width=1, attr_hbm=False, debug_steps=False,
-                 interpret=False):
+                 arity=2, leaf_width=1, attr_hbm=False, ftex=None,
+                 debug_steps=False, interpret=False):
     # --- stage the BVH/attribute tables into VMEM ONCE (grid step 0) ---
     # As pipelined VMEM inputs, Mosaic re-copied the whole table set from
     # HBM on EVERY grid step (~2 s/frame at 1080p when the tables are
@@ -394,7 +403,7 @@ def _mega_kernel(sun_ref, frame_ref,
         read_mat=lambda i: mat_ref[pl.ds(i, 1), :][0],
         read_light=lambda i: light_ref[pl.ds(i, 1), :][0],
         n_materials=n_materials, n_lights=n_lights, use_proctex=use_proctex,
-        rand2=sampler)
+        rand2=sampler, ftex=ftex)
 
     rd = (lambda r: r[...]) if img_mode else (lambda r: r[0])
     st = init_state(V3(rd(ox_ref), rd(oy_ref), rd(oz_ref)),
@@ -647,8 +656,8 @@ def megakernel_trace(tables: PacketTables, mat_rows, light_rows, sun_vec,
                      tlas_internal, n_materials, n_lights,
                      segments=SEGMENTS, max_steps=PACKET_MAX_STEPS,
                      use_proctex=True, bn=None, subtile_rows=0, arity=2,
-                     leaf_width=1, attr_hbm=False, debug_steps=False,
-                     interpret=False) -> MegaOut:
+                     leaf_width=1, attr_hbm=False, ftex=None,
+                     debug_steps=False, interpret=False) -> MegaOut:
     """Trace full paths for (N,3) primary rays in one Pallas launch.
 
     Pads N to a TILE multiple internally (pad lanes duplicate ray 0 and are
@@ -723,7 +732,8 @@ def megakernel_trace(tables: PacketTables, mat_rows, light_rows, sun_vec,
         n_lights=n_lights, segments=segments, max_steps=max_steps,
         use_proctex=use_proctex, use_bn=use_bn, img_mode=img_mode,
         subtile_rows=subtile_rows, arity=arity, leaf_width=leaf_width,
-        attr_hbm=attr_hbm, debug_steps=debug_steps, interpret=interpret)
+        attr_hbm=attr_hbm, ftex=ftex, debug_steps=debug_steps,
+        interpret=interpret)
 
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     # big tables: ANY (HBM) inputs, staged into VMEM scratch once at grid
@@ -777,7 +787,8 @@ def megakernel_trace(tables: PacketTables, mat_rows, light_rows, sun_vec,
 
 
 def simulate_megakernel(scene, rays, pixel_ids, frame_idx, *,
-                        max_steps=1024, use_proctex=True, bn=None) -> MegaOut:
+                        max_steps=1024, use_proctex=True, bn=None,
+                        ftex=None) -> MegaOut:
     """Run the megakernel's exact shading program under plain XLA, with the
     wavefront traverser standing in for the packet kernel — the CPU oracle
     for tests (same component math, same RNG dims, same masks)."""
@@ -799,7 +810,7 @@ def simulate_megakernel(scene, rays, pixel_ids, frame_idx, *,
                    read_mat=lambda i: mat_rows[i],
                    read_light=lambda i: light_rows[i],
                    n_materials=mat_rows.shape[0], n_lights=n_lights,
-                   use_proctex=use_proctex, rand2=sampler)
+                   use_proctex=use_proctex, rand2=sampler, ftex=ftex)
 
     st = init_state(V3(rays.org[:, 0], rays.org[:, 1], rays.org[:, 2]),
                     V3(rays.dir[:, 0], rays.dir[:, 1], rays.dir[:, 2]),
@@ -926,7 +937,7 @@ def path_trace_mega(scene, rays, pixel_ids, frame_idx, prev_basis, aspect,
                     max_steps: int = PACKET_MAX_STEPS, use_proctex: bool = True,
                     bn=None, subtile_rows: int = 0, interpret: bool = False,
                     env_fn=None, debug_steps: bool = False, mesh=None,
-                    leaf_width: int = 1, attr_hbm: bool = False):
+                    leaf_width: int = 1, attr_hbm: bool = False, ftex=None):
     """Drop-in replacement for integrator.path_trace using the megakernel.
 
     debug_steps=True returns a (SEGMENTS+1, ...) per-pixel traversal
@@ -956,7 +967,7 @@ def path_trace_mega(scene, rays, pixel_ids, frame_idx, prev_basis, aspect,
               n_materials=mat_rows.shape[0], n_lights=n_lights,
               max_steps=max_steps, use_proctex=use_proctex,
               subtile_rows=subtile_rows, arity=arity, leaf_width=leaf_width,
-              attr_hbm=attr_hbm, interpret=interpret,
+              attr_hbm=attr_hbm, ftex=ftex, interpret=interpret,
               debug_steps=debug_steps)
     if mesh is not None:
         out = _megakernel_trace_sharded(mesh, tables, mat_rows, light_rows,

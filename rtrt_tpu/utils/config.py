@@ -111,6 +111,11 @@ class FeatureFlags:
     dither: bool = True
     textures: bool = True
     procedural_textures: bool = True  # analytic noise (zero-gather) vs mips
+    fourier_textures: bool = False  # megakernel textured materials from the
+    #   FITTED image-texture set (render/ftex.py: analytic Fourier eval of
+    #   the soil textures with exact Gaussian LOD) instead of procedural
+    #   noise — the TPU-native stand-in for the reference's in-kernel mip
+    #   atlas sampling (src/surfaceInteraction.cuh:75-164)
     rebuild_bvh_every_frame: bool = True
     blue_noise: bool = True  # inter-pixel blue-noise sample distribution
     half_history: bool = True  # bf16 persistent history buffers (the TPU

@@ -52,9 +52,14 @@ def main():
     from rtrt_tpu.engine.frame import make_frame_fn
     from rtrt_tpu.utils.config import DynamicResolution, GlobalSettings
 
+    # terrain_big / terrain_huge follow bench.py's chunk mapping (the
+    # ~230k / ~1M-tri envelope configs)
+    chunks = {"terrain_big": 10, "terrain_huge": 21}.get(args.scene, 4)
+    scene = "terrain" if args.scene.startswith("terrain") else args.scene
     settings = GlobalSettings(
-        render_width=args.width, render_height=args.height, scene=args.scene,
-        texture_size=256, dynamic_resolution=DynamicResolution(enabled=False))
+        render_width=args.width, render_height=args.height, scene=scene,
+        texture_size=256, terrain_chunks=chunks,
+        dynamic_resolution=DynamicResolution(enabled=False))
     eng = Engine(settings)
     static = eng._static                      # the live bucket's config
     frame_args = eng._frame_args(dt=1 / 60)   # same inputs the engine uses
