@@ -56,7 +56,12 @@ if _ts:
     TILE_SHAPE = tuple(int(x) for x in _ts.lower().split("x"))
     assert TILE_SHAPE[0] % 8 == 0 and TILE_SHAPE[1] % 128 == 0, _ts
 else:
-    TILE_SHAPE = (64, 128)
+    # r4 sweep (terrain 1080p, padded node rows, segment skips):
+    # 64x128 -> 131.1 ms, 32x128 -> 129.2, 16x128 -> 131.3, 8x128 -> 151.3
+    # — an interior optimum at 32 rows (narrower tiles lose to union-step
+    # growth, wider to per-step vector cost).  Round-1's 64x128 predated
+    # the megakernel + strip machinery.
+    TILE_SHAPE = (32, 128)
 TILE = TILE_SHAPE[0] * TILE_SHAPE[1]
 STACK = 512          # shared per-tile stack depth (scalars in SMEM).
                      # Big (64x128-px) tiles union many subtrees; 64 was
@@ -131,11 +136,18 @@ def _pack_rows(a, stride):
     return out.reshape(rows, 128)
 
 
-def pack_for_packets(bvh: SceneBvh, tri_nrm_t=None, tri_mat=None) -> PacketTables:
+def pack_for_packets(bvh: SceneBvh, tri_nrm_t=None, tri_mat=None,
+                     attr_pad=False) -> PacketTables:
     """Swizzle the column-major SceneBvh tables into kernel row layout.
 
     tri_nrm_t: (9, T) sorted vertex normals; tri_mat: (T,) sorted material
     ids — both optional (zero/one filled when the caller only traverses).
+
+    attr_pad=True stores ONE attr record per 128-lane row (x8 memory):
+    the resolve loop's record fetch becomes a roll-free dynamic row read
+    (same trade as pack_nodes4 — the dynamic lane rotate costs ~0.7 us
+    per fetch).  Only chosen when the padded table fits the VMEM budget
+    (engine._actual_fit_mode).
     """
     t = bvh.tris_t.shape[1]
     if tri_nrm_t is None:
@@ -166,27 +178,37 @@ def pack_for_packets(bvh: SceneBvh, tri_nrm_t=None, tri_mat=None) -> PacketTable
         tri_rows = jnp.concatenate([tt[0:3], e1, e2], axis=0).T
     else:
         tri_rows = bvh.tris_t.T
+    attr_cols = jnp.concatenate([attr_f, ng, mat_bits], axis=1)
+    if attr_pad:
+        q = attr_cols.shape[0]
+        rows = -(-q // 8) * 8
+        attr_packed = jnp.zeros((rows, 128), attr_cols.dtype)
+        attr_packed = attr_packed.at[:q, :attr_cols.shape[1]].set(attr_cols)
+    else:
+        attr_packed = _pack_rows(attr_cols, 16)
     return PacketTables(
         nodes_f32=_pack_rows(
             jnp.concatenate([bvh.boxes_t.T, child_bits], axis=1), 16),
         tris_f32=_pack_rows(tri_rows, 16),
-        attr_f32=_pack_rows(
-            jnp.concatenate([attr_f, ng, mat_bits], axis=1), 16))
+        attr_f32=attr_packed)
 
 
-def pack_nodes4(nodes4) -> jnp.ndarray:
+def pack_nodes4(nodes4, pad=True) -> jnp.ndarray:
     """(q,32) 4-wide node records (bvh/sah.py::bvh4_nodes) -> (R,128)
-    table with ONE record per row (lanes 32..127 padding) — drop-in for
-    PacketTables.nodes_f32 with traversal arity=4.
+    table for the packet kernel's arity-4 traversal.
 
-    Why one record per row: the r4 surgical A/B (RTRT_STATIC_FETCH)
-    measured the packed-record fetch machinery — dynamic sublane read +
-    DYNAMIC lane rotate — at ~670 ns of the 1.29 us traversal step; the
-    dynamic pltpu.roll is the expensive half.  Row-per-record trades 4x
-    node-table VMEM (~22 MB at the 1M-tri envelope — still inside the
-    attr_hbm budget) for a roll-free fetch: one dynamic ROW read, record
-    lanes at static offsets."""
+    pad=True (default): ONE record per row (lanes 32..127 padding).  The
+    r4 surgical A/B (RTRT_STATIC_FETCH) measured the packed-record fetch
+    machinery — dynamic sublane read + DYNAMIC lane rotate — at ~670 ns
+    of the 1.29 us traversal step; row-per-record trades 4x node-table
+    VMEM for a roll-free fetch (one dynamic ROW read, record lanes at
+    static offsets).  pad=False keeps the dense 4-records-per-row layout
+    (rolled fetch) for scenes where the padded table would push
+    nodes+tris past the VMEM staging budget (the ~1M-tri envelope);
+    traversal must then run with the matching node_pad=False."""
     n4 = jnp.asarray(nodes4)
+    if not pad:
+        return _pack_rows(n4, 32)
     q = n4.shape[0]
     rows = -(-q // 8) * 8
     out = jnp.zeros((rows, 128), n4.dtype)
@@ -203,6 +225,21 @@ def pack_nodes4(nodes4) -> jnp.ndarray:
 _STATIC_FETCH = _os.environ.get("RTRT_STATIC_FETCH") == "1"
 _NO_PRUNE = _os.environ.get("RTRT_NO_PRUNE") == "1"
 _NO_LEAF = _os.environ.get("RTRT_NO_LEAF") == "1"
+#   RTRT_SIMPLE_COND=1   loop runs to max_steps on a pure induction
+#                        variable (probe runs pin max_steps low)
+#   RTRT_NO_UV=1         drop the u/v carry planes from the find loop
+#   RTRT_NO_TSTACK=1     no ordered-traversal t-stack (no tstack writes,
+#                        pops never pruned by entry distance)
+#   RTRT_NO_ORDER=1      skip the near-first sort network (fixed order)
+_SIMPLE_COND = _os.environ.get("RTRT_SIMPLE_COND") == "1"
+# >1: evaluate the data-dependent loop-exit terms only every Nth step
+# (the while body chains N steps).  The bisect put the per-step cost of
+# the data-dependent continuation at ~300 ns; stray steps past the true
+# exit are made safe by the empty-pop guard in step().
+_COND_STRIDE = int(_os.environ.get("RTRT_COND_STRIDE", "1"))
+_NO_UV = _os.environ.get("RTRT_NO_UV") == "1"
+_NO_TSTACK = _os.environ.get("RTRT_NO_TSTACK") == "1"
+_NO_ORDER = _os.environ.get("RTRT_NO_ORDER") == "1"
 
 
 def _rec_fetch(ref, i, stride, interpret):
@@ -241,7 +278,8 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
                   stack_ref, tstack_ref, ox, oy, oz, dx, dy, dz, t_cap, *,
                   tlas_internal, any_hit, max_steps, first_hit=None,
                   lean=False, arity=2, leaf_width=1, interpret=False,
-                  attr_hbm=False, attr_scratch=None, attr_sem=None):
+                  attr_hbm=False, attr_scratch=None, attr_sem=None,
+                  attr_pad=False, node_pad=True):
     """Shared-stack packet traversal over one ray tile — pure kernel code,
     reusable from other Pallas kernels (the path-trace megakernel calls this
     once per bounce segment with the stack scratch it owns).
@@ -475,10 +513,16 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
         # its 8 records at static lane offsets; short leaves carry
         # duplicates of their first triangle (harmless real geometry).
         if leaf_width > 1:
-            assert leaf_width == 128 // 16 and GROUP == 1
-            v8 = tris_ref[pl.ds(0 if _STATIC_FETCH else base // leaf_width,
-                                1), :]
-            recs = [(base + k, v8, 16 * k) for k in range(leaf_width)]
+            # row-aligned wide leaves: leaf_width/8 CONSECUTIVE rows read
+            # with one dynamic sublane slice; records at static offsets.
+            # Wider leaves amortize the per-visit overhead (r4: a leaf
+            # visit costs ~2 us largely independent of its vector work)
+            # and shrink the tree — RTRT_LEAF_WIDTH sweeps 8/16/32.
+            assert leaf_width % 8 == 0 and GROUP == 1
+            rpl = leaf_width // 8
+            blk = tris_ref[pl.ds(0 if _STATIC_FETCH else base // 8, rpl), :]
+            recs = [(base + k, blk[(k // 8):(k // 8) + 1, :], 16 * (k % 8))
+                    for k in range(leaf_width)]
         else:
             recs = [(base + k,
                      _rec_fetch(tris_ref, base + k, 16, interpret), 0)
@@ -495,8 +539,9 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
             gb = ok & (tt < gt)
             gt = jnp.where(gb, tt, gt)
             gtri = jnp.where(gb, t_idx, gtri)
-            gu = jnp.where(gb, tu, gu)
-            gv = jnp.where(gb, tv, gv)
+            if not _NO_UV:  # surgery: drop the u/v carry updates
+                gu = jnp.where(gb, tu, gu)
+                gv = jnp.where(gb, tv, gv)
         # tri_hit already enforces tt < best_t, so any finite
         # group-best is an improvement
         better = gt < best_t
@@ -514,29 +559,35 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
         if not lean:
             mat, nsx, nsy, nsz, ngx, ngy, ngz = args[4:11]
             if leaf_width > 1:
-                a8 = attr_f_ref[pl.ds(base // leaf_width, 1), :]
-            for t_idx, _, off in recs:
+                a_blk = attr_f_ref[pl.ds(base, leaf_width), :] if attr_pad \
+                    else attr_f_ref[pl.ds(base // 8, leaf_width // 8), :]
+            for k, (t_idx, _, off) in enumerate(recs):
                 m = better & (gtri == t_idx)
                 # one attr fetch: shading normals, precomputed
                 # geometric normal, material bits
-                a = a8 if leaf_width > 1 \
-                    else _rec_fetch(attr_f_ref, t_idx, 16, interpret)
-                am = _lv(a, off + 12).astype(jnp.int32)
+                if leaf_width > 1:
+                    a = a_blk[k:k + 1, :] if attr_pad \
+                        else a_blk[(k // 8):(k // 8) + 1, :]
+                else:
+                    a = _rec_fetch(attr_f_ref, t_idx, 16, interpret)
+                # padded rows carry the record at lane 0 regardless of off
+                aoff = 0 if (attr_pad and leaf_width > 1) else off
+                am = _lv(a, aoff + 12).astype(jnp.int32)
                 # interpolated shading normal (rows x bary)
                 tw = 1.0 - gu - gv
-                inx = tw * _lv(a, off + 0) + gu * _lv(a, off + 3) \
-                    + gv * _lv(a, off + 6)
-                iny = tw * _lv(a, off + 1) + gu * _lv(a, off + 4) \
-                    + gv * _lv(a, off + 7)
-                inz = tw * _lv(a, off + 2) + gu * _lv(a, off + 5) \
-                    + gv * _lv(a, off + 8)
+                inx = tw * _lv(a, aoff + 0) + gu * _lv(a, aoff + 3) \
+                    + gv * _lv(a, aoff + 6)
+                iny = tw * _lv(a, aoff + 1) + gu * _lv(a, aoff + 4) \
+                    + gv * _lv(a, aoff + 7)
+                inz = tw * _lv(a, aoff + 2) + gu * _lv(a, aoff + 5) \
+                    + gv * _lv(a, aoff + 8)
                 mat = jnp.where(m, am, mat)
                 nsx = jnp.where(m, inx, nsx)
                 nsy = jnp.where(m, iny, nsy)
                 nsz = jnp.where(m, inz, nsz)
-                ngx = jnp.where(m, _lv(a, off + 9), ngx)
-                ngy = jnp.where(m, _lv(a, off + 10), ngy)
-                ngz = jnp.where(m, _lv(a, off + 11), ngz)
+                ngx = jnp.where(m, _lv(a, aoff + 9), ngx)
+                ngy = jnp.where(m, _lv(a, aoff + 10), ngy)
+                ngz = jnp.where(m, _lv(a, aoff + 11), ngz)
             out = out + (mat, nsx, nsy, nsz, ngx, ngy, ngz)
         # prune bound tightens as lanes accept hits
         return out + (leafv + len(recs), drops, jnp.max(new_best))
@@ -546,8 +597,11 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
         record fetch serves two binary levels — 4 slab tests, up to 3
         pushes via a 5-comparator scalar sort network, nearest continues.
         Same fetch machinery cost as the binary record; ~halves steps."""
-        # row-per-record node table (pack_nodes4): roll-free dynamic read
-        nf = nodes_f_ref[pl.ds(0 if _STATIC_FETCH else row, 1), :]
+        if node_pad:
+            # row-per-record node table (pack_nodes4): roll-free read
+            nf = nodes_f_ref[pl.ds(0 if _STATIC_FETCH else row, 1), :]
+        else:
+            nf = _rec_fetch(nodes_f_ref, row, 32, interpret)
         es, rows_ = [], []
         for c in range(4):
             h_c, t_c = slab(_lv(nf, 6 * c), _lv(nf, 6 * c + 1),
@@ -576,27 +630,35 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
                     (jnp.where(sw, a[0], b[0]), jnp.where(sw, a[1], b[1])))
 
         p0, p1, p2, p3 = pairs
-        p0, p1 = cswap(p0, p1)
-        p2, p3 = cswap(p2, p3)
-        p0, p2 = cswap(p0, p2)
-        p1, p3 = cswap(p1, p3)
-        p1, p2 = cswap(p1, p2)
+        if not _NO_ORDER:  # surgery: skip near-first ordering
+            p0, p1 = cswap(p0, p1)
+            p2, p3 = cswap(p2, p3)
+            p0, p2 = cswap(p0, p2)
+            p1, p3 = cswap(p1, p3)
+            p1, p2 = cswap(p1, p2)
         # push far-to-near so the nearest pops first.  Valid candidates
         # sort to the front (inf last); each write is predicated on
         # validity + capacity (a full stack drops the deepest pushes, as
         # the reference's 16-deep stack does — src/traverse.h:35)
-        c3 = ((p3[0] < jnp.inf) & (sp < STACK)).astype(jnp.int32)
-        w3 = jnp.minimum(sp, STACK - 1)
-        stack_ref[w3] = jnp.where(c3 > 0, p3[1], stack_ref[w3])
-        tstack_ref[w3] = jnp.where(c3 > 0, p3[0], tstack_ref[w3])
-        c2 = ((p2[0] < jnp.inf) & (sp + c3 < STACK)).astype(jnp.int32)
-        w2 = jnp.minimum(sp + c3, STACK - 1)
-        stack_ref[w2] = jnp.where(c2 > 0, p2[1], stack_ref[w2])
-        tstack_ref[w2] = jnp.where(c2 > 0, p2[0], tstack_ref[w2])
-        c1 = ((p1[0] < jnp.inf) & (sp + c3 + c2 < STACK)).astype(jnp.int32)
-        w1 = jnp.minimum(sp + c3 + c2, STACK - 1)
-        stack_ref[w1] = jnp.where(c1 > 0, p1[1], stack_ref[w1])
-        tstack_ref[w1] = jnp.where(c1 > 0, p1[0], tstack_ref[w1])
+        # unconditional trash-slot stores (see the binary-push comment)
+        ok3 = (p3[0] < jnp.inf) & (sp < STACK)
+        c3 = ok3.astype(jnp.int32)
+        w3 = jnp.where(ok3, sp, STACK)
+        stack_ref[w3] = p3[1]
+        if not _NO_TSTACK:
+            tstack_ref[w3] = p3[0]
+        ok2 = (p2[0] < jnp.inf) & (sp + c3 < STACK)
+        c2 = ok2.astype(jnp.int32)
+        w2 = jnp.where(ok2, sp + c3, STACK)
+        stack_ref[w2] = p2[1]
+        if not _NO_TSTACK:
+            tstack_ref[w2] = p2[0]
+        ok1 = (p1[0] < jnp.inf) & (sp + c3 + c2 < STACK)
+        c1 = ok1.astype(jnp.int32)
+        w1 = jnp.where(ok1, sp + c3 + c2, STACK)
+        stack_ref[w1] = p1[1]
+        if not _NO_TSTACK:
+            tstack_ref[w1] = p1[0]
         # overflow telemetry: count valid candidates a full stack dropped
         # (a dropped far child = silently missing geometry for this tile;
         # the envelope bench asserts this stays 0 — RTRT_COUNT_DROPS=1)
@@ -619,6 +681,8 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
 
     def cond(s):
         sp, steps, bound, cur = s[0], s[-6], s[-3], s[-1]
+        if _SIMPLE_COND:  # surgery: pure induction-variable trip count
+            return steps < max_steps
         # bound == -inf: every lane is done/resolved — nothing can accept
         # a hit anymore, so skip the stack drain entirely
         return ((sp > 0) | (cur >= 0)) & (steps < max_steps) \
@@ -632,10 +696,19 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
         # pop when no current node (predicated select; SMEM read is cheap)
         need = cur < 0
         top = stack_ref[jnp.maximum(sp - 1, 0)]
-        topt = tstack_ref[jnp.maximum(sp - 1, 0)]
-        cur = jnp.where(need, top, cur)
-        curt = jnp.where(need, topt, curt)
-        sp = jnp.where(need, sp - 1, sp)
+        topt = jnp.float32(-jnp.inf) if _NO_TSTACK \
+            else tstack_ref[jnp.maximum(sp - 1, 0)]
+        if _COND_STRIDE > 1:
+            # empty-pop guard: steps past the true exit become skip-steps
+            # (cur -1, curt +inf fails every prune bound)
+            has = need & (sp > 0)
+            cur = jnp.where(has, top, cur)
+            curt = jnp.where(need, jnp.where(has, topt, jnp.inf), curt)
+            sp = jnp.where(has, sp - 1, sp)
+        else:
+            cur = jnp.where(need, top, cur)
+            curt = jnp.where(need, topt, curt)
+            sp = jnp.where(need, sp - 1, sp)
 
         def visit_leaf(args):
             # deferred leaf pop: test its triangles, then pop again
@@ -690,12 +763,17 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
             near_ok = near_t < jnp.inf
             far_ok = far_t < jnp.inf
 
-            # push far (with its tile-min entry for pop-time pruning);
-            # predicated write, no cond
-            c = (near_ok & far_ok & (sp < STACK)).astype(jnp.int32)
-            w = jnp.minimum(sp, STACK - 1)
-            stack_ref[w] = jnp.where(c > 0, far, stack_ref[w])
-            tstack_ref[w] = jnp.where(c > 0, far_t, tstack_ref[w])
+            # push far (with its tile-min entry for pop-time pruning).
+            # UNCONDITIONAL store: invalid/overflow pushes land in the
+            # trash slot at index STACK — a predicated read-modify-write
+            # here measured ~350 ns/step (SMEM RMW + select; r4 bisect
+            # RTRT_NO_TSTACK), a plain store is near-free
+            ok_push = near_ok & far_ok & (sp < STACK)
+            c = ok_push.astype(jnp.int32)
+            w = jnp.where(ok_push, sp, STACK)
+            stack_ref[w] = far
+            if not _NO_TSTACK:
+                tstack_ref[w] = far_t
             drops = drops + (near_ok & far_ok & (c == 0)).astype(jnp.int32)
             sp = sp + c
             nxt = jnp.where(near_ok, near, jnp.int32(-1))
@@ -723,7 +801,14 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
             nxt = jnp.where(done, jnp.int32(-1), nxt)
         return (sp,) + hs + (steps + 1, leafv, drops, bound, curt, nxt)
 
-    out = jax.lax.while_loop(cond, step, init)
+    if _COND_STRIDE > 1:
+        def stride_step(s):
+            for _ in range(_COND_STRIDE):
+                s = step(s)
+            return s
+        out = jax.lax.while_loop(cond, stride_step, init)
+    else:
+        out = jax.lax.while_loop(cond, step, init)
     hs = out[1:1 + nh]
     best_t, tri, uo, vo = hs[0:4]
     # telemetry plane: loop steps; accepted-leaf-visit events under
@@ -760,6 +845,9 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
             in HBM (attr_hbm: both starts issue before either wait, so one
             HBM round trip covers the pair)."""
             if not attr_hbm:
+                if attr_pad:  # row-per-record: roll-free dynamic reads
+                    return (attr_f_ref[pl.ds(lo, 1), :],
+                            attr_f_ref[pl.ds(hi, 1), :])
                 return (_rec_fetch(attr_f_ref, lo, 16, interpret),
                         _rec_fetch(attr_f_ref, hi, 16, interpret))
             per = 128 // 16
@@ -850,7 +938,8 @@ def _kernel(nodes_f_ref, tris_ref, attr_f_ref,
             t_out, tri_out, u_out, v_out, mat_out,
             nsx_out, nsy_out, nsz_out, ngx_out, ngy_out, ngz_out,
             *, tlas_internal, any_hit, max_steps, arity=2, leaf_width=1,
-            attr_hbm=False, lean=False, count_steps=False, interpret=False):
+            attr_hbm=False, attr_pad=False, node_pad=True, lean=False,
+            count_steps=False, interpret=False):
     step0 = pl.program_id(0) == 0  # (before run_scoped: interpret mode
     #                                loses the grid context inside it)
 
@@ -872,7 +961,8 @@ def _kernel(nodes_f_ref, tris_ref, attr_f_ref,
 
         kw = dict(attr_hbm=True, attr_scratch=attr_f_v,
                   attr_sem=tdma_sem, lean=True) if attr_hbm \
-            else dict(lean=lean)
+            else dict(lean=lean, attr_pad=attr_pad)
+        kw["node_pad"] = node_pad
         (t, tri, uo, vo, mat, nsx, nsy, nsz, ngx, ngy, ngz, stp) = traverse_tile(
             nodes_f_v, tris_v, attr_f_ref if attr_hbm else attr_f_v,
             stack_ref, tstack_ref, ox_ref[0], oy_ref[0], oz_ref[0],
@@ -895,8 +985,8 @@ def _kernel(nodes_f_ref, tris_ref, attr_f_ref,
         ngy_out[0] = ngy
         ngz_out[0] = ngz
 
-    pl.run_scoped(run, pltpu.SMEM((STACK,), jnp.int32),
-                  pltpu.SMEM((STACK,), jnp.float32),
+    pl.run_scoped(run, pltpu.SMEM((STACK + 1,), jnp.int32),
+                  pltpu.SMEM((STACK + 1,), jnp.float32),
                   pltpu.VMEM(nodes_f_ref.shape, jnp.float32),
                   pltpu.VMEM(tris_ref.shape, jnp.float32),
                   pltpu.VMEM((2, 128) if attr_hbm else attr_f_ref.shape,
@@ -920,8 +1010,8 @@ class PacketHit(NamedTuple):
 def packet_intersect(tables: PacketTables, org, dir, t_max=None, *,
                      any_hit=False, max_steps=PACKET_MAX_STEPS,
                      tlas_internal, arity=2, leaf_width=1, attr_hbm=False,
-                     lean=False, count_steps=False,
-                     interpret=False) -> PacketHit:
+                     attr_pad=False, node_pad=True, lean=False,
+                     count_steps=False, interpret=False) -> PacketHit:
     """Trace (N,3) rays with the packet kernel.  Pads N up to a TILE
     multiple internally (pad rays carry t_max=0 and terminate instantly)."""
     n0 = org.shape[0]
@@ -946,7 +1036,8 @@ def packet_intersect(tables: PacketTables, org, dir, t_max=None, *,
     kernel = functools.partial(_kernel, tlas_internal=tlas_internal,
                                any_hit=any_hit, max_steps=max_steps,
                                arity=arity, leaf_width=leaf_width,
-                               attr_hbm=attr_hbm, lean=lean,
+                               attr_hbm=attr_hbm, attr_pad=attr_pad,
+                               node_pad=node_pad, lean=lean,
                                count_steps=count_steps, interpret=interpret)
     grid = (nt,)
     ray_spec = pl.BlockSpec((1,) + TILE_SHAPE, lambda i: (i, 0, 0),

@@ -77,6 +77,12 @@ def generate_world(chunks_x=4, chunks_y=2, chunks_z=4, seed=7,
     if prefer_native:
         from . import native
         if native.available():
+            # ADVICE r3: the native Perlin uses a different permutation
+            # RNG than the numpy path, so geometry (and bench numbers)
+            # differ between generators — always say which one ran
+            import sys
+            print(f"[terrain] native C++ generator: {nx}x{ny}x{nz} cells "
+                  f"seed={seed}", file=sys.stderr, flush=True)
             density = native.terrain_density(
                 nx, ny, nz, (ox, oy, oz), seed, height_scale)
             ctr = native.terrain_density(
@@ -84,6 +90,10 @@ def generate_world(chunks_x=4, chunks_y=2, chunks_z=4, seed=7,
                 seed, height_scale)
             solid = (ctr > 0).astype(np.uint8)
             return VoxelWorld(density, solid, chunks_x, chunks_y, chunks_z)
+        import sys
+        print(f"[terrain] native generator unavailable — numpy fallback "
+              f"for {nx}x{ny}x{nz} cells (large worlds take minutes)",
+              file=sys.stderr, flush=True)
     p = Perlin(seed)
     xs = np.arange(nx + 1, dtype=np.float64) + ox
     ys = np.arange(ny + 1, dtype=np.float64) + oy

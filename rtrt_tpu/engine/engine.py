@@ -189,13 +189,15 @@ class Engine:
             # refit boxes per frame inside the jitted program (bvh/refit.py)
             from ..bvh.refit import plan_refit4
             from ..bvh.sah import build_scene_tables_sah, bvh4_nodes
-            self._sah_leaf = 8 \
-                if os.environ.get("RTRT_LEAF8", "1") != "0" else 1
+            self._sah_leaf = (
+                int(os.environ.get("RTRT_LEAF_WIDTH", "8"))
+                if os.environ.get("RTRT_LEAF8", "1") != "0" else 1)
             bvh, nrm_t, mat_s = build_scene_tables_sah(
                 self.scene.num_batches, self.indices, self.tri_mat,
                 self.valid, self.state.vertices, self.state.normals,
                 leaf_max=self._sah_leaf)
             raw4 = bvh4_nodes(bvh)
+            self._node_pad = self._node_pad_fits(raw4.shape[0], bvh)
             self._refit_plan = plan_refit4(raw4, leaf_width=self._sah_leaf)
             self.prebuilt = (bvh, nrm_t, mat_s)
         elif self.animation == "none" and \
@@ -207,8 +209,9 @@ class Engine:
                 from ..bvh.sah import build_scene_tables_sah, bvh4_nodes
                 # row-aligned 8-tri leaves: one packet-kernel row fetch
                 # tests a whole leaf, and the tree shrinks ~6x
-                self._sah_leaf = 8 \
-                    if os.environ.get("RTRT_LEAF8", "1") != "0" else 1
+                self._sah_leaf = (
+                    int(os.environ.get("RTRT_LEAF_WIDTH", "8"))
+                    if os.environ.get("RTRT_LEAF8", "1") != "0" else 1)
                 bvh, nrm_t, mat_s = build_scene_tables_sah(
                     self.scene.num_batches, self.indices, self.tri_mat,
                     self.valid, self.state.vertices, self.state.normals,
@@ -216,9 +219,14 @@ class Engine:
                 nodes4 = None
                 if os.environ.get("RTRT_BVH4", "1") != "0":
                     # 4-wide collapse: one record fetch serves two binary
-                    # levels — halves packet-traversal steps
+                    # levels — halves packet-traversal steps.  Row-padded
+                    # (roll-free fetch) when nodes+tris still fit the
+                    # staging budget; dense rolled layout otherwise
+                    # (the ~1M-tri envelope)
                     from ..bvh.packet import pack_nodes4
-                    nodes4 = pack_nodes4(bvh4_nodes(bvh))
+                    raw4 = bvh4_nodes(bvh)
+                    self._node_pad = self._node_pad_fits(raw4.shape[0], bvh)
+                    nodes4 = pack_nodes4(raw4, pad=self._node_pad)
                 self.prebuilt = (bvh, nrm_t, mat_s, nodes4)
             else:
                 from .frame import build_scene_tables
@@ -244,6 +252,20 @@ class Engine:
     # resolution buckets / dynamic resolution
     # ------------------------------------------------------------------
 
+    def _node_pad_fits(self, q: int, bvh) -> bool:
+        """Row-padded 4-wide nodes (512 B/node, roll-free fetch) only when
+        padded nodes + packed tris still fit the VMEM staging budget —
+        otherwise the dense rolled layout keeps the big-scene envelope on
+        the packet path (r3 parity: 1M tris via attr_hbm)."""
+        if os.environ.get("RTRT_NODE_PAD", "1") == "0":
+            return False
+        from ..bvh.packet import packed_rows
+        nodes_b = (-(-q // 8) * 8) * 128 * 4
+        tris_b = packed_rows(int(bvh.tris_t.shape[1]), 16) * 128 * 4
+        budget = float(os.environ.get("RTRT_VMEM_TABLE_BUDGET_MB",
+                                      "96")) * 2**20
+        return nodes_b + tris_b <= budget
+
     def _actual_fit_mode(self):
         """Fit mode from the REAL packed-table byte sizes (ADVICE r3: the
         tris/24*1.5 analytic estimate under-counts when SAH leaves fill
@@ -262,11 +284,19 @@ class Engine:
         if nodes4 is not None:
             nodes_b = int(nodes4.size) * 4
         elif self._refit_plan is not None:
-            nodes_b = packed_rows(self._refit_plan.q, 32) * row_b
+            q = self._refit_plan.q
+            nodes_b = ((-(-q // 8) * 8) * row_b
+                       if getattr(self, "_node_pad", True)
+                       else packed_rows(q, 32) * row_b)
         else:
             nodes_b = packed_rows(int(bvh.boxes_t.shape[1]), 16) * row_b
         budget = float(os.environ.get("RTRT_VMEM_TABLE_BUDGET_MB",
                                       "96")) * 2**20
+        # padded attr table (row-per-record, x8): roll-free resolve fetch
+        attr_pad_b = int(bvh.tris_t.shape[1]) * 128 * 4
+        if nodes_b + tris_b + attr_pad_b <= budget \
+                and os.environ.get("RTRT_ATTR_PAD", "1") != "0":
+            return "full_pad"
         if nodes_b + tris_b + attr_b <= budget:
             return "full"
         if nodes_b + tris_b <= budget:
@@ -307,6 +337,8 @@ class Engine:
             # cost: 0 -> 172.1 ms, 8 -> 164.7, 16 -> 150.5, 32 -> 149.6.
             bounce_subtile=int(os.environ.get("RTRT_BOUNCE_SUBTILE", "32")),
             attr_hbm=(fit_mode == "attr_hbm"),
+            attr_pad=(fit_mode == "full_pad"),
+            node_pad=getattr(self, "_node_pad", True),
             sah_leaf=getattr(self, "_sah_leaf", 1),
             ftex=getattr(self, "_ftex", None),
             animation=self.animation)

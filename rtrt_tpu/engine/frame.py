@@ -115,6 +115,12 @@ class FrameStatic(NamedTuple):
     #   work on direction-incoherent bounce rays; 0 = whole-tile unions
     pallas_interpret: bool = False  # run Pallas kernels in interpret mode
     #   (CPU validation of kernel paths, e.g. the sharded megakernel test)
+    node_pad: bool = True     # 4-wide node table row-per-record (x4 VMEM,
+    #   roll-free fetch); False = dense rolled layout for scenes where the
+    #   padded table would blow the staging budget (~1M-tri envelope)
+    attr_pad: bool = False    # attr table row-per-record (x8 VMEM): the
+    #   resolve loop's record fetch is roll-free (engine picks this when
+    #   the padded table fits the staging budget — small/mid scenes)
     attr_hbm: bool = False    # megakernel: leave the attribute table in HBM
     #   (resolve-loop record DMAs) — halves the VMEM staging budget so
     #   ~1M-tri scenes ride the packet path (engine.packet_fit_mode)
@@ -239,7 +245,8 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
         tt = displace_wave_rows(bvh0.tris_t, t_now)
         tri_nrm_t = wave_normal_rows(nrm_t0, bvh0.tris_t, t_now)
         llo, lhi = leaf_bounds(tt, refit_plan.n_leaves, refit_plan.leaf_width)
-        nodes4 = pack_nodes4(refit_nodes4(refit_plan, llo, lhi))
+        nodes4 = pack_nodes4(refit_nodes4(refit_plan, llo, lhi),
+                             pad=static.node_pad)
         bvh = bvh0._replace(tris_t=tt)
     else:
         verts = state.vertices
@@ -335,14 +342,16 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
                 scene, rays, pixel_ids, frame_idx, prev_basis, w / h,
                 use_proctex=static.flags.procedural_textures, bn=bn,
                 subtile_rows=static.bounce_subtile, leaf_width=leaf_width,
-                attr_hbm=static.attr_hbm,
+                attr_hbm=static.attr_hbm, attr_pad=static.attr_pad,
+                node_pad=static.node_pad,
                 interpret=static.pallas_interpret, debug_steps=True)
             return (steps[:, :h, :w],), state
         gbuf: GBuffer = path_trace_mega(
             scene, rays, pixel_ids, frame_idx, prev_basis, w / h,
             use_proctex=static.flags.procedural_textures, bn=bn,
             subtile_rows=static.bounce_subtile, leaf_width=leaf_width,
-            attr_hbm=static.attr_hbm, ftex=static.ftex,
+            attr_hbm=static.attr_hbm, attr_pad=static.attr_pad,
+            node_pad=static.node_pad, ftex=static.ftex,
             interpret=static.pallas_interpret, env_fn=env_fn,
             mesh=trace_mesh)
         crop = lambda x: x[:h, :w]

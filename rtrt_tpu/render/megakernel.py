@@ -353,8 +353,9 @@ def _mega_kernel(sun_ref, frame_ref,
                  tdma_sem, *sub_refs,
                  tlas_internal, n_materials, n_lights, segments,
                  max_steps, use_proctex, use_bn, img_mode, subtile_rows=0,
-                 arity=2, leaf_width=1, attr_hbm=False, ftex=None,
-                 debug_steps=False, interpret=False):
+                 arity=2, leaf_width=1, attr_hbm=False, attr_pad=False,
+                 node_pad=True, ftex=None, debug_steps=False,
+                 interpret=False):
     # --- stage the BVH/attribute tables into VMEM ONCE (grid step 0) ---
     # As pipelined VMEM inputs, Mosaic re-copied the whole table set from
     # HBM on EVERY grid step (~2 s/frame at 1080p when the tables are
@@ -387,7 +388,8 @@ def _mega_kernel(sun_ref, frame_ref,
                        attr_sem=tdma_sem)
     else:
         tris_ref, attr_f_ref = tris_v, attr_f_v
-        attr_kw = {}
+        attr_kw = dict(attr_pad=attr_pad)
+    attr_kw["node_pad"] = node_pad
 
     sun = _unpack_sun(lambda i: sun_ref[i])
     frame = frame_ref[0].astype(jnp.uint32)
@@ -656,7 +658,8 @@ def megakernel_trace(tables: PacketTables, mat_rows, light_rows, sun_vec,
                      tlas_internal, n_materials, n_lights,
                      segments=SEGMENTS, max_steps=PACKET_MAX_STEPS,
                      use_proctex=True, bn=None, subtile_rows=0, arity=2,
-                     leaf_width=1, attr_hbm=False, ftex=None,
+                     leaf_width=1, attr_hbm=False, attr_pad=False,
+                     node_pad=True, ftex=None,
                      debug_steps=False, interpret=False) -> MegaOut:
     """Trace full paths for (N,3) primary rays in one Pallas launch.
 
@@ -732,8 +735,8 @@ def megakernel_trace(tables: PacketTables, mat_rows, light_rows, sun_vec,
         n_lights=n_lights, segments=segments, max_steps=max_steps,
         use_proctex=use_proctex, use_bn=use_bn, img_mode=img_mode,
         subtile_rows=subtile_rows, arity=arity, leaf_width=leaf_width,
-        attr_hbm=attr_hbm, ftex=ftex, debug_steps=debug_steps,
-        interpret=interpret)
+        attr_hbm=attr_hbm, attr_pad=attr_pad, node_pad=node_pad, ftex=ftex,
+        debug_steps=debug_steps, interpret=interpret)
 
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     # big tables: ANY (HBM) inputs, staged into VMEM scratch once at grid
@@ -748,8 +751,8 @@ def megakernel_trace(tables: PacketTables, mat_rows, light_rows, sun_vec,
         in_specs=[smem_spec, smem_spec] + table_specs + [ray_spec] * 10,
         out_specs=out_spec,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32),
-                        pltpu.SMEM((STACK,), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((STACK + 1,), jnp.int32),
+                        pltpu.SMEM((STACK + 1,), jnp.float32),
                         pltpu.VMEM((28,) + TILE_SHAPE, jnp.float32),
                         pltpu.VMEM(tables.nodes_f32.shape, jnp.float32),
                         pltpu.VMEM(tables.tris_f32.shape, jnp.float32),
@@ -937,7 +940,9 @@ def path_trace_mega(scene, rays, pixel_ids, frame_idx, prev_basis, aspect,
                     max_steps: int = PACKET_MAX_STEPS, use_proctex: bool = True,
                     bn=None, subtile_rows: int = 0, interpret: bool = False,
                     env_fn=None, debug_steps: bool = False, mesh=None,
-                    leaf_width: int = 1, attr_hbm: bool = False, ftex=None):
+                    leaf_width: int = 1, attr_hbm: bool = False,
+                    attr_pad: bool = False, node_pad: bool = True,
+                    ftex=None):
     """Drop-in replacement for integrator.path_trace using the megakernel.
 
     debug_steps=True returns a (SEGMENTS+1, ...) per-pixel traversal
@@ -951,7 +956,8 @@ def path_trace_mega(scene, rays, pixel_ids, frame_idx, prev_basis, aspect,
     from ..bvh.packet import pack_for_packets
     from .kshade import pack_materials_rows
 
-    tables = pack_for_packets(scene.bvh, scene.tri_nrm_t, scene.tri_mat)
+    tables = pack_for_packets(scene.bvh, scene.tri_nrm_t, scene.tri_mat,
+                              attr_pad=attr_pad)
     mat_rows = pack_materials_rows(scene.materials)
     light_rows = pack_light_rows(scene.lights)
     sun_vec = pack_sun_params(scene.sky)
@@ -967,8 +973,8 @@ def path_trace_mega(scene, rays, pixel_ids, frame_idx, prev_basis, aspect,
               n_materials=mat_rows.shape[0], n_lights=n_lights,
               max_steps=max_steps, use_proctex=use_proctex,
               subtile_rows=subtile_rows, arity=arity, leaf_width=leaf_width,
-              attr_hbm=attr_hbm, ftex=ftex, interpret=interpret,
-              debug_steps=debug_steps)
+              attr_hbm=attr_hbm, attr_pad=attr_pad, node_pad=node_pad,
+              ftex=ftex, interpret=interpret, debug_steps=debug_steps)
     if mesh is not None:
         out = _megakernel_trace_sharded(mesh, tables, mat_rows, light_rows,
                                         sun_vec, frame_idx, rays, pixel_ids,

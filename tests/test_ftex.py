@@ -116,6 +116,7 @@ def test_triplanar_and_shading_component_paths():
     np.testing.assert_allclose(ln, 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_megakernel_simulator_with_ftex():
     """The shared shading program consumes ftex (oracle path): the image
     must stay finite and differ from the procedural-texture render."""

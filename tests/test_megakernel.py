@@ -26,6 +26,11 @@ from rtrt_tpu.render.sky import (bake_sky_maps, finalize_sky_maps,
                                  make_sky_params)
 from rtrt_tpu.render.texture import make_soil_textures
 
+# slow tier: every test compiles the full bounce program (simulator and/or
+# interpret-mode Pallas kernel) — minutes each on a CPU host.  The packet
+# kernel's fast-tier coverage lives in tests/test_sah.py.
+pytestmark = pytest.mark.slow
+
 W, H = 64, 32  # 2048 pixels = exactly one packet tile
 
 

@@ -219,8 +219,16 @@ def test_sah4_packet_kernel_interpret(rng):
 
     ph = packet_intersect(tables, org, dirs, tlas_internal=0, arity=4,
                           interpret=True, max_steps=16384)
+    # the dense (rolled-fetch) node layout — big-scene envelope mode —
+    # must agree with the row-padded default
+    tdense = pack_for_packets(bvh)._replace(
+        nodes_f32=pack_nodes4(nodes4, pad=False))
+    pd = packet_intersect(tdense, org, dirs, tlas_internal=0, arity=4,
+                          node_pad=False, interpret=True, max_steps=16384)
     wh = intersect_scene(bvh, org, dirs, max_steps=16384)
     pt, wt = np.asarray(ph.t), np.asarray(wh.t)
+    np.testing.assert_allclose(np.nan_to_num(np.asarray(pd.t), posinf=1e30),
+                               np.nan_to_num(pt, posinf=1e30), rtol=1e-5)
     both = np.isfinite(pt) & np.isfinite(wt)
     same_miss = ~np.isfinite(pt) & ~np.isfinite(wt)
     assert (both | same_miss).all()
@@ -228,11 +236,14 @@ def test_sah4_packet_kernel_interpret(rng):
     assert (np.asarray(ph.tri) == np.asarray(wh.tri))[both].mean() > 0.99
 
 
-def test_sah_leaf8_all_traversals(rng):
-    """Row-aligned 8-tri leaves (leaf_max=8): wavefront, packet and
-    packet-arity4 traversals all match brute force over the original soup.
-    Also: the collapse covers every original triangle and pads short
-    leaves with duplicates of a leaf member."""
+@pytest.mark.parametrize("lw", [8, pytest.param(16, marks=pytest.mark.slow),
+                                pytest.param(32, marks=pytest.mark.slow)])
+def test_sah_wide_leaves_all_traversals(rng, lw):
+    """Row-aligned multi-tri leaves (leaf_max=8/16/32): wavefront, packet
+    and packet-arity4 traversals all match brute force over the original
+    soup.  Also: the collapse covers every original triangle and pads
+    short leaves with duplicates of a leaf member.  (Wider leaves are the
+    r4 per-visit-overhead amortization — RTRT_LEAF_WIDTH.)"""
     from rtrt_tpu.bvh.packet import (pack_for_packets, pack_nodes4,
                                      packet_intersect)
     from rtrt_tpu.bvh.sah import bvh4_nodes
@@ -240,7 +251,7 @@ def test_sah_leaf8_all_traversals(rng):
 
     v0, v1, v2 = _random_tri_soup(rng, 500, spread=8.0)
     bv0, bv1, bv2, valid = _pad_batches(v0, v1, v2, 1)
-    bvh = build_scene_bvh_sah(bv0, bv1, bv2, valid, leaf_max=8)
+    bvh = build_scene_bvh_sah(bv0, bv1, bv2, valid, leaf_max=lw)
 
     # structure: tree shrank well below n-1 internal nodes; every original
     # triangle is present in the padded sorted table
@@ -256,15 +267,20 @@ def test_sah_leaf8_all_traversals(rng):
                          jnp.asarray(v2))
     tb = np.asarray(hb.t)
 
-    hw = intersect_scene(bvh, org, d, leaf_width=8, max_steps=16384)
+    hw = intersect_scene(bvh, org, d, leaf_width=lw, max_steps=16384)
     tables = pack_for_packets(bvh)
-    ph = packet_intersect(tables, org, d, tlas_internal=0, leaf_width=8,
+    ph = packet_intersect(tables, org, d, tlas_internal=0, leaf_width=lw,
                           interpret=True, max_steps=16384)
+    # padded-attr layout (roll-free resolve fetch) must agree too
+    tpad = pack_for_packets(bvh, attr_pad=True)
+    pp = packet_intersect(tpad, org, d, tlas_internal=0, leaf_width=lw,
+                          attr_pad=True, interpret=True, max_steps=16384)
     t4 = tables._replace(nodes_f32=pack_nodes4(bvh4_nodes(bvh)))
     p4 = packet_intersect(t4, org, d, tlas_internal=0, arity=4,
-                          leaf_width=8, interpret=True, max_steps=16384)
+                          leaf_width=lw, interpret=True, max_steps=16384)
 
-    for t in (np.asarray(hw.t), np.asarray(ph.t), np.asarray(p4.t)):
+    for t in (np.asarray(hw.t), np.asarray(ph.t), np.asarray(pp.t),
+              np.asarray(p4.t)):
         assert (np.isfinite(t) == np.isfinite(tb)).all()
         m = np.isfinite(t)
         np.testing.assert_allclose(t[m], tb[m], rtol=1e-4, atol=1e-4)
