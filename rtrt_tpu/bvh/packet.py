@@ -232,6 +232,13 @@ _NO_LEAF = _os.environ.get("RTRT_NO_LEAF") == "1"
 #                        pops never pruned by entry distance)
 #   RTRT_NO_ORDER=1      skip the near-first sort network (fixed order)
 _SIMPLE_COND = _os.environ.get("RTRT_SIMPLE_COND") == "1"
+# RTRT_BRANCHLESS=1: the traversal step runs BOTH the leaf and internal
+# bodies every iteration, masked by scalar predicates, with no lax.cond
+# at all — the structure every fast replica probe shares (probe_cores:
+# 69 ns/step vs the real kernel's ~860 ns at 32 rows).  Costs the sum of
+# both bodies' vector work per step; pays off only if the in-cond
+# penalty is real.  arity-4 tables only.
+_BRANCHLESS = _os.environ.get("RTRT_BRANCHLESS") == "1"
 # >1: evaluate the data-dependent loop-exit terms only every Nth step
 # (the while body chains N steps).  The bisect put the per-step cost of
 # the data-dependent continuation at ~300 ns; stray steps past the true
@@ -486,6 +493,10 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
                      zf(), zf(), zf(), zf(), zf(), zf())
     nh = len(hs0)
 
+    tris_rows = tris_ref.shape[0]
+    attr_rows = attr_f_ref.shape[0] if attr_f_ref is not None else 0
+    node_rows = nodes_f_ref.shape[0]
+
     # Leaf visit: test the leaf's triangles against every lane.  Leaves
     # ride the SHARED STACK like internal nodes (the leaf bit is already in
     # the packed entry), so each loop iteration makes ONE leaf/internal
@@ -498,7 +509,9 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
     # tile.  Surface attributes (shading/geometric normals, material) are
     # computed AT ACCEPT TIME from scalar rows — the integrator never
     # gathers per-triangle data again.  carry = hs + (leafv, bound).
-    def leaf_body(e, args):
+    def leaf_body(e, args, mask=None):
+        # mask: optional SCALAR predicate (branchless step) — accepts and
+        # the bound/leafv updates apply only when it holds
         best_t, tri, uo, vo = args[0:4]
         leafv, drops, bound = args[-3:]
         base = ((e >> _BATCH_SHIFT) & _BATCH_MASK) * BATCH_SIZE \
@@ -518,9 +531,12 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
             # Wider leaves amortize the per-visit overhead (r4: a leaf
             # visit costs ~2 us largely independent of its vector work)
             # and shrink the tree — RTRT_LEAF_WIDTH sweeps 8/16/32.
+            # The row index clamps: masked-out (branchless) visits carry
+            # garbage entries and must not read out of range.
             assert leaf_width % 8 == 0 and GROUP == 1
             rpl = leaf_width // 8
-            blk = tris_ref[pl.ds(0 if _STATIC_FETCH else base // 8, rpl), :]
+            brow = jnp.clip(base // 8, 0, tris_rows - rpl)
+            blk = tris_ref[pl.ds(0 if _STATIC_FETCH else brow, rpl), :]
             recs = [(base + k, blk[(k // 8):(k // 8) + 1, :], 16 * (k % 8))
                     for k in range(leaf_width)]
         else:
@@ -545,6 +561,8 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
         # tri_hit already enforces tt < best_t, so any finite
         # group-best is an improvement
         better = gt < best_t
+        if mask is not None:
+            better = better & mask
         tt = gt
         if first_hit is not None:
             # per-lane any-hit: an occluded shadow lane leaves the
@@ -559,8 +577,10 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
         if not lean:
             mat, nsx, nsy, nsz, ngx, ngy, ngz = args[4:11]
             if leaf_width > 1:
-                a_blk = attr_f_ref[pl.ds(base, leaf_width), :] if attr_pad \
-                    else attr_f_ref[pl.ds(base // 8, leaf_width // 8), :]
+                a_blk = attr_f_ref[pl.ds(jnp.clip(base, 0,
+                                                  attr_rows - leaf_width),
+                                         leaf_width), :] if attr_pad \
+                    else attr_f_ref[pl.ds(brow, leaf_width // 8), :]
             for k, (t_idx, _, off) in enumerate(recs):
                 m = better & (gtri == t_idx)
                 # one attr fetch: shading normals, precomputed
@@ -590,9 +610,12 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
                 ngz = jnp.where(m, _lv(a, aoff + 11), ngz)
             out = out + (mat, nsx, nsy, nsz, ngx, ngy, ngz)
         # prune bound tightens as lanes accept hits
+        if mask is not None:
+            return out + (leafv + jnp.where(mask, len(recs), 0), drops,
+                          jnp.where(mask, jnp.max(new_best), bound))
         return out + (leafv + len(recs), drops, jnp.max(new_best))
 
-    def _visit4(row, sp, hs, leafv, drops, bound, best_t):
+    def _visit4(row, sp, hs, leafv, drops, bound, best_t, mask=None):
         """4-wide node visit (flat SAH4 trees, bvh/sah.py): one stride-32
         record fetch serves two binary levels — 4 slab tests, up to 3
         pushes via a 5-comparator scalar sort network, nearest continues.
@@ -641,19 +664,20 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
         # validity + capacity (a full stack drops the deepest pushes, as
         # the reference's 16-deep stack does — src/traverse.h:35)
         # unconditional trash-slot stores (see the binary-push comment)
-        ok3 = (p3[0] < jnp.inf) & (sp < STACK)
+        mT = True if mask is None else mask
+        ok3 = (p3[0] < jnp.inf) & (sp < STACK) & mT
         c3 = ok3.astype(jnp.int32)
         w3 = jnp.where(ok3, sp, STACK)
         stack_ref[w3] = p3[1]
         if not _NO_TSTACK:
             tstack_ref[w3] = p3[0]
-        ok2 = (p2[0] < jnp.inf) & (sp + c3 < STACK)
+        ok2 = (p2[0] < jnp.inf) & (sp + c3 < STACK) & mT
         c2 = ok2.astype(jnp.int32)
         w2 = jnp.where(ok2, sp + c3, STACK)
         stack_ref[w2] = p2[1]
         if not _NO_TSTACK:
             tstack_ref[w2] = p2[0]
-        ok1 = (p1[0] < jnp.inf) & (sp + c3 + c2 < STACK)
+        ok1 = (p1[0] < jnp.inf) & (sp + c3 + c2 < STACK) & mT
         c1 = ok1.astype(jnp.int32)
         w1 = jnp.where(ok1, sp + c3 + c2, STACK)
         stack_ref[w1] = p1[1]
@@ -663,12 +687,14 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
         # (a dropped far child = silently missing geometry for this tile;
         # the envelope bench asserts this stays 0 — RTRT_COUNT_DROPS=1)
         drops = drops \
-            + ((p3[0] < jnp.inf) & (c3 == 0)).astype(jnp.int32) \
-            + ((p2[0] < jnp.inf) & (c2 == 0)).astype(jnp.int32) \
-            + ((p1[0] < jnp.inf) & (c1 == 0)).astype(jnp.int32)
+            + (((p3[0] < jnp.inf) & mT & (c3 == 0)).astype(jnp.int32)
+               + ((p2[0] < jnp.inf) & mT & (c2 == 0)).astype(jnp.int32)
+               + ((p1[0] < jnp.inf) & mT & (c1 == 0)).astype(jnp.int32))
         sp = sp + c1 + c2 + c3
-        nxt = jnp.where(p0[0] < jnp.inf, p0[1], jnp.int32(-1))
-        return (sp,) + hs + (leafv, drops, bound, p0[0], nxt)
+        ok0 = (p0[0] < jnp.inf) & mT
+        nxt = jnp.where(ok0, p0[1], jnp.int32(-1))
+        return (sp,) + hs + (leafv, drops, bound,
+                             jnp.where(ok0, p0[0], jnp.inf), nxt)
 
     init = (jnp.int32(0),) + hs0 + (
         jnp.int32(0),                      # steps
