@@ -67,26 +67,59 @@ def main():
     eng.render_frame_device(dt=1 / 60)
 
     # device-side frame THROUGHPUT time: dispatch all frames (each chained
-    # on the previous frame's state, so they serialize on device) and block
-    # once at the end.  Blocking per frame would add this dev tunnel's
-    # completion-poll latency (~25-100 ms/frame measured — an RPC-tunnel
-    # artifact, not render time; production hosts block locally in ~us).
-    # The dev tunnel's D2H copy of the image is likewise not part of the
-    # render pipeline.
+    # on the previous frame's state, so they serialize on device), then
+    # FORCE completion with a VALUE FETCH of a 1-pixel slice of the final
+    # image.  `block_until_ready()` is NOT trusted: on the axon dev tunnel
+    # it can return without waiting (verified round 4: ten chained ~8 s
+    # computations "blocked" in 0.3 ms), which made BENCH_r04.json record
+    # dispatch time (0.18 ms) instead of render time (~120 ms).  Fetching
+    # an actual value cannot be skipped by any transfer-layer shortcut.
+    # The fetch's own round-trip latency is calibrated on an already-ready
+    # array and subtracted.
+    import jax.numpy as jnp
+
+    def fetch_scalar(arr):
+        # tiny dependent slice -> host value: forces the whole dependency
+        # chain to execute; D2H is 3 bytes, not the 6 MB frame
+        return float(jnp.asarray(arr[:1, :1, 0], jnp.float32)[0, 0])
+
     fn = eng._frame_fns[eng._cur_bucket]
+    warm = eng.render_frame_device(dt=1 / 60)
+    fetch_scalar(warm)                      # compile the fetch slice
+    t0 = time.perf_counter()
+    fetch_scalar(warm)                      # warm array: pure RTT
+    rtt = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     img = None
     for _ in range(FRAMES):
         img, new_state = fn(*eng._frame_args(1 / 60))
         eng.state = new_state
-    img.block_until_ready()
-    ms = (time.perf_counter() - t0) / FRAMES * 1e3
+    checksum = fetch_scalar(img)
+    ms = (time.perf_counter() - t0 - rtt) / FRAMES * 1e3
 
     target_ms = 33.333  # 30 FPS north star @1080p (BASELINE.json)
+    # Physical-floor sanity guard (round-4 lesson: reject impossible
+    # numbers instead of publishing them).  Two independent floors:
+    #  (a) HBM traffic: each megakernel grid step re-reads the staged
+    #      scene tables; plus the persistent history planes are read+
+    #      written once per frame.  v5e HBM peak ~819 GB/s.
+    #  (b) ray throughput: no TPU VPU traversal can exceed ~2 Grays/s
+    #      (measured reality is ~0.1; RT-core GPUs top out ~1-5).
+    n_rays = eng.render_w * eng.render_h * 5
+    hist_bytes = 2 * eng.render_w * eng.render_h * 10 * 2  # r+w, ~10 bf16 planes
+    floor_ms = max(hist_bytes / 819e9 * 1e3, n_rays / 2e9 * 1e3)
+    if ms < floor_ms:
+        print(json.dumps({
+            "metric": "BENCH_INVALID_below_physical_floor",
+            "value": round(ms, 4), "unit": "ms",
+            "floor_ms": round(floor_ms, 3), "vs_baseline": 0.0}))
+        sys.exit(1)
+
     # BASELINE.md metric row: ms/frame AND Mrays/s.  The frame runs 5 scene
     # intersects per pixel (primary + shadow/bounce segments, matching the
     # reference's ~5/pixel bounce program, src/pathtrace.cuh:53-105)
-    mrays = eng.render_w * eng.render_h * 5 / (ms / 1e3) / 1e6
+    mrays = n_rays / (ms / 1e3) / 1e6
     print(json.dumps({
         "metric": (f"ms_per_frame_{eng.render_w}x{eng.render_h}_1spp_"
                    f"denoised_{SCENE}_{eng.scene.num_tris}tris"
@@ -95,6 +128,8 @@ def main():
         "unit": "ms",
         "vs_baseline": round(target_ms / ms, 4),
         "mrays_per_s": round(mrays, 1),
+        "fetch_rtt_ms": round(rtt * 1e3, 1),
+        "checksum": round(checksum, 1),
     }))
 
 

@@ -163,3 +163,44 @@ def smooth_normals(vertices: np.ndarray, indices: np.ndarray) -> np.ndarray:
         np.add.at(out, idx, fn)
     norm = np.linalg.norm(out, axis=-1, keepdims=True)
     return (out / np.maximum(norm, 1e-12)).astype(np.float32)
+
+
+def roundcube_field(solid: np.ndarray, rounding: int = 1) -> np.ndarray:
+    """Corner-sampled signed field whose isosurface is the ROUNDED-BLOCK
+    surface of a binary voxel world — the reference's visual identity.
+
+    The reference meshes binary voxels with 15 hand-modeled "roundcube"
+    template meshes (reference: src/marchingCubes.cpp:216-537): flat block
+    faces away from edges, rounded bevels along edges and corners.  This
+    framework reproduces that look procedurally instead of with template
+    assets: the ±1 occupancy field is corner-resampled (8-cell average)
+    and then box-smoothed `rounding` times, which leaves flat faces flat
+    (constant neighborhoods are fixed points of the box filter) while
+    rounding the sign transitions at edges/corners; marching tetrahedra on
+    the smoothed field then lands vertices on the rounded isosurface.
+
+    solid: (X, Y, Z) uint8/bool cell occupancy.
+    Returns (X+1, Y+1, Z+1) float32 corner field, > 0 inside.
+    """
+    s = np.asarray(solid, np.float32) * 2.0 - 1.0
+    # cell-centered -> corner lattice: average the 8 adjacent cells
+    # (outside-of-world cells count as empty, giving a closed surface)
+    p = np.pad(s, 1, constant_values=-1.0)
+    f = np.zeros((s.shape[0] + 1, s.shape[1] + 1, s.shape[2] + 1),
+                 np.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                f += p[dx:dx + f.shape[0], dy:dy + f.shape[1],
+                       dz:dz + f.shape[2]]
+    f *= 0.125
+    for _ in range(rounding):
+        g = np.pad(f, 1, mode="edge")
+        acc = np.zeros_like(f)
+        for dx in (0, 1, 2):
+            for dy in (0, 1, 2):
+                for dz in (0, 1, 2):
+                    acc += g[dx:dx + f.shape[0], dy:dy + f.shape[1],
+                             dz:dz + f.shape[2]]
+        f = acc / 27.0
+    return f

@@ -28,6 +28,7 @@ small-image fallback; tests pin tile-shift == gather on every ok lane.
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import NamedTuple
 
 import jax
@@ -39,6 +40,42 @@ TILE_H = 32
 TILE_W = 128
 R = 3                      # residual radius (window halo), pixels
 B = 24                     # max per-tile base shift, pixels (≈24 px/frame)
+
+# History resampling filter.  The reference's temporal filter fetches
+# history with bicubic Catmull-Rom by DEFAULT (reference:
+# src/temporalDenoising.cuh:800-812, SampleBicubicCatmullRom) — sharper
+# accumulation under sub-pixel jitter than bilinear, which low-passes the
+# history a little every frame.  Both the Pallas tile-shift kernel and the
+# XLA gather twin honor this switch; CR's overshoot is bounded downstream
+# by the temporal filter's YCoCg neighborhood clamp (same as the
+# reference).  RTRT_HISTORY_FILTER=bilinear restores the round-4 default
+# for A/B.
+HISTORY_FILTER = _os.environ.get("RTRT_HISTORY_FILTER", "catmull_rom")
+
+
+def _w_bilinear(d):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+
+
+def _w_catmull_rom(d):
+    """1-D Catmull-Rom kernel (a = -1/2), support |d| < 2."""
+    t = jnp.abs(d)
+    inner = (1.5 * t - 2.5) * t * t + 1.0
+    outer = ((-0.5 * t + 2.5) * t - 4.0) * t + 2.0
+    return jnp.where(t <= 1.0, inner, jnp.where(t < 2.0, outer, 0.0))
+
+
+def _w_filter(d):
+    return (_w_catmull_rom if HISTORY_FILTER == "catmull_rom"
+            else _w_bilinear)(d)
+
+
+# residual range on which the tap footprint is fully inside the window:
+# bilinear needs taps at floor(c)..floor(c)+1 (c ∈ [0, 2R]); Catmull-Rom
+# needs floor(c)-1..floor(c)+2 (c ∈ [1, 2R-1]).  Out-of-range lanes are
+# rejected (ok=False -> temporal restart), same semantics as before.
+_OK_LO = 1.0 if HISTORY_FILTER == "catmull_rom" else 0.0
+_OK_HI = 2.0 * R - _OK_LO
 # Mosaic DMA slices must have BOTH shape and start aligned to the (8,128)
 # VMEM tiling.  The window origin is therefore rounded DOWN to the tiling
 # and the remainder (rem_y ∈ [0,8), rem_x ∈ [0,128)) is removed inside the
@@ -137,10 +174,10 @@ def _reproject_kernel(offy_ref, offx_ref, y0_ref, x0_ref,
     ncnt = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     nmat = jnp.zeros((TILE_H, TILE_W), jnp.int32)
     for sy in range(2 * R + 1):
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(cy - sy))
+        wy = _w_filter(cy - sy)
         sel_y = ny == sy
         for sx in range(2 * R + 1):
-            w = wy * jnp.maximum(0.0, 1.0 - jnp.abs(cx - sx))
+            w = wy * _w_filter(cx - sx)
             sl = (slice(sy, sy + TILE_H), slice(sx, sx + TILE_W))
             for k, s in enumerate((v1x, v1y, v1z, v2x, v2y, v2z)):
                 acc[k] = acc[k] + w * s[sl]
@@ -220,7 +257,7 @@ def reproject_tile_shift(color, color2, depth, mat_id, count, motion,
         .astype(jnp.float32)
     cx = mpx + jnp.repeat(jnp.repeat(off_x, TILE_H, 0), TILE_W, 1) \
         .astype(jnp.float32)
-    ok = (cy >= 0.0) & (cy <= 2.0 * R) & (cx >= 0.0) & (cx <= 2.0 * R)
+    ok = (cy >= _OK_LO) & (cy <= _OK_HI) & (cx >= _OK_LO) & (cx <= _OK_HI)
 
     crop = lambda x: x[:h, :w]
     (r1x, r1y, r1z, r2x, r2y, r2z, dep, cnt, mat) = [crop(o) for o in outs]
@@ -245,25 +282,32 @@ def reproject_gather(color, color2, depth, mat_id, count, motion
     x0f = jnp.floor(xh)
     fy = yh - y0f
     fx = xh - x0f
-    y0i = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
-    x0i = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
-    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    y0i = y0f.astype(jnp.int32)
+    x0i = x0f.astype(jnp.int32)
 
-    def bil(img):
-        c00 = img[y0i, x0i]
-        c01 = img[y0i, x1i]
-        c10 = img[y1i, x0i]
-        c11 = img[y1i, x1i]
-        fxc = fx[..., None] if img.ndim == 3 else fx
-        fyc = fy[..., None] if img.ndim == 3 else fy
-        return (c00 * (1 - fxc) + c01 * fxc) * (1 - fyc) \
-            + (c10 * (1 - fxc) + c11 * fxc) * fyc
+    # footprint taps: bilinear uses {0,1}; Catmull-Rom {-1,0,1,2} (the
+    # filter default — see HISTORY_FILTER above; weights at the extra taps
+    # are exactly 0 under bilinear, so one unified tap set would also work,
+    # but the narrow set keeps the CPU path's gather count down)
+    taps = (0, 1) if HISTORY_FILTER == "bilinear" else (-1, 0, 1, 2)
+
+    def resample(img):
+        acc = 0.0
+        for ky in taps:
+            yi = jnp.clip(y0i + ky, 0, h - 1)
+            wy = _w_filter(fy - ky)
+            wyc = wy[..., None] if img.ndim == 3 else wy
+            for kx in taps:
+                xi = jnp.clip(x0i + kx, 0, w - 1)
+                wx = _w_filter(fx - kx)
+                wxc = wx[..., None] if img.ndim == 3 else wx
+                acc = acc + wyc * wxc * img[yi, xi]
+        return acc
 
     nyi = jnp.clip(jnp.round(yh).astype(jnp.int32), 0, h - 1)
     nxi = jnp.clip(jnp.round(xh).astype(jnp.int32), 0, w - 1)
     ok = (yh >= 0.0) & (yh <= h - 1.0) & (xh >= 0.0) & (xh <= w - 1.0)
     return Reprojection(
-        color=bil(color), color2=bil(color2),
+        color=resample(color), color2=resample(color2),
         depth=depth[nyi, nxi], mat_id=mat_id[nyi, nxi],
         count=count[nyi, nxi], ok=ok)

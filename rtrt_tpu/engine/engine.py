@@ -313,6 +313,24 @@ class Engine:
         fit_mode = self._actual_fit_mode() if self.prebuilt is not None \
             else packet_fit_mode(self.scene.num_batches, sah_leaf8=False)
         packets_fit = fit_mode != "none"
+        # Envelope fence: beyond the packet paths (~1.4M tris) the XLA
+        # wavefront fallback is the only TPU route, and at product
+        # resolutions its gather-heavy while_loops run minutes per frame
+        # and die with a device-side "TPU kernel fault" on the v5e
+        # (recorded round 4; it works at demo scale — 480x270 = 18.6 ms).
+        # Rather than silently reaching a faulting path, refuse the
+        # config with a clear error.  RTRT_ALLOW_WAVEFRONT=1 opts back in
+        # (small scenes / experiments); the CPU backend is unaffected.
+        if (_tpu_available() and not packets_fit and w * h > 480 * 270
+                and os.environ.get("RTRT_ALLOW_WAVEFRONT") != "1"):
+            raise RuntimeError(
+                f"scene ({self.scene.num_batches * 1024} padded tris) "
+                f"exceeds the packet-traversal VMEM envelope and the XLA "
+                f"wavefront fallback is not supported on TPU above "
+                f"480x270 (device-fault at scale; see PARITY.md envelope "
+                f"table).  Reduce resolution, raise "
+                f"RTRT_VMEM_TABLE_BUDGET_MB, or set RTRT_ALLOW_WAVEFRONT=1 "
+                f"to override.")
         b = self.scene.num_batches
         flags = self.flags
         if os.environ.get("RTRT_PROCTEX") == "0":

@@ -73,7 +73,16 @@ def build_terrain_scene(settings: GlobalSettings) -> HostScene:
                            chunks_z=settings.terrain_chunks,
                            seed=settings.terrain_seed)
     origin = world_origin(world)
-    if native.available():
+    if getattr(settings, "terrain_style", "smooth") == "roundcube":
+        # reference visual identity (template roundcube meshes,
+        # marchingCubes.cpp:216-537) via the procedural rounded-block
+        # field — see content/marching.py::roundcube_field
+        from ..content.marching import roundcube_field
+        density = roundcube_field(world.solid)
+        v0, v1, v2 = march_tetrahedra(density, origin=origin)
+        vertices, indices = weld_vertices(v0, v1, v2)
+        normals = smooth_normals(vertices, indices)
+    elif native.available():
         v0, v1, v2 = native.march_tetrahedra(world.density, origin)
         vertices, indices = native.weld(v0, v1, v2)
         normals = native.smooth_normals(vertices, indices)

@@ -51,6 +51,9 @@ class GlobalSettings:
     texture_size: int = 512
     terrain_chunks: int = 4
     terrain_seed: int = 7
+    terrain_style: str = "smooth"    # smooth (sub-voxel isosurface) |
+    #   roundcube (reference template-mesh visual identity: flat block
+    #   faces + rounded bevels, content/marching.py::roundcube_field)
     sky_model: str = "physical"      # physical (Rayleigh-Mie) | preetham
     #   (fitted analytic daylight — the reference's active-sky family)
     frame_cap_fps: float = 75.0      # reference: 75-fps busy-wait floor
@@ -77,6 +80,7 @@ def load_config(path: str | None) -> GlobalSettings:
         texture_size=t.get("texture_size", 512),
         terrain_chunks=t.get("terrain_chunks", 4),
         terrain_seed=t.get("terrain_seed", 7),
+        terrain_style=t.get("terrain_style", "smooth"),
         sky_model=t.get("sky_model", "physical"),
         frame_cap_fps=t.get("frame_cap_fps", 75.0),
         dynamic_resolution=DynamicResolution(

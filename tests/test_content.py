@@ -200,3 +200,34 @@ def test_native_obj_loader(tmp_path):
     v2, f2 = native.load_obj(path)
     assert v2.shape == (4, 3)
     assert f2.shape == (2, 3)
+
+
+def test_roundcube_field_flat_faces_round_edges():
+    """The procedural roundcube field (reference template-mesh visual
+    identity, marchingCubes.cpp:216-537): flat block faces stay flat,
+    edges/corners round off."""
+    import numpy as np
+    from rtrt_tpu.content.marching import march_tetrahedra, roundcube_field
+
+    solid = np.zeros((8, 8, 8), np.uint8)
+    solid[2:6, 2:6, 2:6] = 1  # a 4^3 block
+    f = roundcube_field(solid, rounding=1)
+    v0, v1, v2 = march_tetrahedra(f)
+    assert v0.shape[0] > 0
+    # face centers stay planar: the isosurface crosses x=2 at the -x face
+    # center (field flat there), while the block corner is pulled INSIDE
+    # the sharp cube corner (rounded bevel)
+    pts = np.concatenate([v0, v1, v2], 0)
+    face_pts = pts[(np.abs(pts[:, 1] - 4.0) < 0.8)
+                   & (np.abs(pts[:, 2] - 4.0) < 0.8)]
+    xmin_face = face_pts[:, 0].min()
+    corner_pts = pts[(pts[:, 1] < 2.8) & (pts[:, 2] < 2.8)]
+    xmin_corner = corner_pts[:, 0].min()
+    assert xmin_corner > xmin_face + 0.2, (xmin_face, xmin_corner)
+    # surface is watertight: every edge shared by exactly 2 triangles
+    from rtrt_tpu.content.marching import weld_vertices
+    verts, idx = weld_vertices(v0, v1, v2)
+    edges = np.concatenate([idx[:, [0, 1]], idx[:, [1, 2]], idx[:, [2, 0]]])
+    edges = np.sort(edges, axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).all()

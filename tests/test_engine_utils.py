@@ -472,3 +472,27 @@ def test_packet_tables_fit_gate():
     assert packet_fit_mode(1004, sah_leaf8=False) == "none"
     assert packet_tables_fit(226) and packet_tables_fit(1004)
     assert not packet_tables_fit(2800)
+
+
+def test_wavefront_fence_beyond_envelope(monkeypatch):
+    """Beyond the packet VMEM envelope the TPU has no working product-scale
+    path (the XLA wavefront fallback device-faults above demo resolution,
+    PARITY.md envelope table) — the engine must hard-reject the config
+    with a clear error instead of silently reaching a faulting path."""
+    from rtrt_tpu.engine import engine as eng_mod
+    from rtrt_tpu.utils.config import DynamicResolution, GlobalSettings
+    monkeypatch.setattr(eng_mod, "_tpu_available", lambda: True)
+    monkeypatch.setenv("RTRT_VMEM_TABLE_BUDGET_MB", "0.001")
+    monkeypatch.delenv("RTRT_ALLOW_WAVEFRONT", raising=False)
+    settings = GlobalSettings(
+        render_width=1920, render_height=1080, scene="demo",
+        texture_size=32,
+        dynamic_resolution=DynamicResolution(enabled=False))
+    with pytest.raises(RuntimeError, match="packet-traversal VMEM envelope"):
+        eng_mod.Engine(settings)
+    # demo-scale (<=480x270) stays allowed: recorded working on the v5e
+    small = dataclasses.replace(settings, render_width=480, render_height=270)
+    eng_mod.Engine(small)  # must not raise (host-side setup only)
+    # explicit override re-enables the path at any scale
+    monkeypatch.setenv("RTRT_ALLOW_WAVEFRONT", "1")
+    eng_mod.Engine(settings)

@@ -83,11 +83,15 @@ def main():
         # exact executed-step count: the kernel writes each tile's loop
         # count into the mat plane (uniform within a tile)
         steps = int(np.asarray(r.mat).reshape(n_tiles, TILE)[:, 0].sum())
+        # forced-fetch timing (block_until_ready is a NO-OP on the axon
+        # tunnel — utils/timing.py); dispatches serialize on the one core
+        from rtrt_tpu.utils.timing import fetch_rtt, force_ready
+        rtt = fetch_rtt(r.t)
         t0 = time.perf_counter()
         for _ in range(args.reps):
             r = fn(rays.org, rays.dir)
-        jax.block_until_ready(r)
-        dt = (time.perf_counter() - t0) / args.reps
+        force_ready(r.t)
+        dt = (time.perf_counter() - t0 - rtt) / args.reps
         results.append((cap, dt, steps))
         print(f"cap={cap:4d}: {dt * 1e3:8.2f} ms  {steps:7d} steps "
               f"({n_tiles} tiles)", flush=True)

@@ -99,12 +99,14 @@ def main():
         # dev tunnel's ~25-100 ms completion-poll latency to every frame —
         # an RPC artifact, not device time (frames already serialize on
         # device; the state output feeds the next call's input)
+        from rtrt_tpu.utils.timing import fetch_rtt, force_ready
+        rtt = fetch_rtt(out)  # block_until_ready: NO-OP on the axon tunnel
         t0 = time.perf_counter()
         for _ in range(args.frames):
             out, new_state = fn(*frame_args)
             frame_args = frame_args[:7] + (new_state,) + frame_args[8:]
-        jax.block_until_ready(out)
-        cum[stage] = (time.perf_counter() - t0) / args.frames * 1e3
+        force_ready(out)
+        cum[stage] = (time.perf_counter() - t0 - rtt) / args.frames * 1e3
 
     print(f"\nscene={args.scene} tris={eng.scene.num_tris} "
           f"{args.width}x{args.height}  ({args.frames} frames/stage)")
