@@ -80,10 +80,10 @@ RAY_TMIN = 1e-4
 # guarantee on shared edges, measured as SSIM(wt, mt) = 0.99999 with
 # ~7e-6 of pixels differing >4 LSB at 1080p (isolated speckles the
 # temporal accumulation absorbs) — so MT is the default and watertight
-# stays available via RTRT_TRI_TEST=wt.  The flag switches BOTH the pack
-# layout (rows become [v0|e1|e2]) and the kernel test — read once at
+# stays available via RTRT_SURGERY=wt_tri.  The flag switches BOTH the
+# pack layout (rows become [v0|e1|e2]) and the kernel test — read once at
 # import so every consumer agrees.
-TRI_TEST = _os.environ.get("RTRT_TRI_TEST", "mt")
+TRI_TEST = "wt" if "wt_tri" in _os.environ.get("RTRT_SURGERY", "") else "mt"
 
 _IDX_MASK = (1 << 11) - 1
 _BATCH_SHIFT = 11
@@ -198,7 +198,7 @@ def pack_nodes4(nodes4, pad=True) -> jnp.ndarray:
     table for the packet kernel's arity-4 traversal.
 
     pad=True (default): ONE record per row (lanes 32..127 padding).  The
-    r4 surgical A/B (RTRT_STATIC_FETCH) measured the packed-record fetch
+    r4 surgical A/B (RTRT_SURGERY=static_fetch) measured the packed-record fetch
     machinery — dynamic sublane read + DYNAMIC lane rotate — at ~670 ns
     of the 1.29 us traversal step; row-per-record trades 4x node-table
     VMEM for a roll-free fetch (one dynamic ROW read, record lanes at
@@ -215,38 +215,39 @@ def pack_nodes4(nodes4, pad=True) -> jnp.ndarray:
     return out.at[:q, :32].set(n4)
 
 
-# Timing-only kernel surgery flags (tools/probe_traverse.py A/Bs — images
-# are WRONG under these; never set in production):
-#   RTRT_STATIC_FETCH=1  record fetches read row 0 with no rotate —
-#                        isolates the dynamic-slice + lane-roll machinery
-#   RTRT_NO_PRUNE=1      every pop is a full visit (ordered-traversal
-#                        prune cond removed) — isolates the skip cond
-#   RTRT_NO_LEAF=1       leaf pops skip their triangle tests
-_STATIC_FETCH = _os.environ.get("RTRT_STATIC_FETCH") == "1"
-_NO_PRUNE = _os.environ.get("RTRT_NO_PRUNE") == "1"
-_NO_LEAF = _os.environ.get("RTRT_NO_LEAF") == "1"
-#   RTRT_SIMPLE_COND=1   loop runs to max_steps on a pure induction
-#                        variable (probe runs pin max_steps low)
-#   RTRT_NO_UV=1         drop the u/v carry planes from the find loop
-#   RTRT_NO_TSTACK=1     no ordered-traversal t-stack (no tstack writes,
-#                        pops never pruned by entry distance)
-#   RTRT_NO_ORDER=1      skip the near-first sort network (fixed order)
-_SIMPLE_COND = _os.environ.get("RTRT_SIMPLE_COND") == "1"
-# RTRT_BRANCHLESS=1: the traversal step runs BOTH the leaf and internal
-# bodies every iteration, masked by scalar predicates, with no lax.cond
-# at all — the structure every fast replica probe shares (probe_cores:
-# 69 ns/step vs the real kernel's ~860 ns at 32 rows).  Costs the sum of
-# both bodies' vector work per step; pays off only if the in-cond
-# penalty is real.  arity-4 tables only.
-_BRANCHLESS = _os.environ.get("RTRT_BRANCHLESS") == "1"
-# >1: evaluate the data-dependent loop-exit terms only every Nth step
-# (the while body chains N steps).  The bisect put the per-step cost of
-# the data-dependent continuation at ~300 ns; stray steps past the true
-# exit are made safe by the empty-pop guard in step().
-_COND_STRIDE = int(_os.environ.get("RTRT_COND_STRIDE", "1"))
-_NO_UV = _os.environ.get("RTRT_NO_UV") == "1"
-_NO_TSTACK = _os.environ.get("RTRT_NO_TSTACK") == "1"
-_NO_ORDER = _os.environ.get("RTRT_NO_ORDER") == "1"
+# RTRT_SURGERY: comma-separated timing-only kernel surgery modes
+# (tools/probe_traverse.py A/Bs — images are WRONG under these; never set
+# in production):
+#   static_fetch  record fetches read row 0 with no rotate — isolates the
+#                 dynamic-slice + lane-roll machinery
+#   no_prune      every pop is a full visit (ordered-traversal prune cond
+#                 removed) — isolates the skip cond
+#   no_leaf       leaf pops skip their triangle tests
+#   simple_cond   loop runs to max_steps on a pure induction variable
+#                 (probe runs pin max_steps low)
+#   no_uv         drop the u/v carry planes from the find loop
+#   no_tstack     no ordered-traversal t-stack (no tstack writes, pops
+#                 never pruned by entry distance)
+#   no_order      skip the near-first sort network (fixed order)
+#   wt_tri        watertight (JCGT) triangle test instead of the default
+#                 division-free Möller-Trumbore (precision oracle)
+#   dense_nodes / dense_attrs: see engine.py (read there; listed for the
+#                 single-registry docs)
+_SURGERY = frozenset(
+    m for m in _os.environ.get("RTRT_SURGERY", "").split(",") if m)
+_STATIC_FETCH = "static_fetch" in _SURGERY
+_NO_PRUNE = "no_prune" in _SURGERY
+_NO_LEAF = "no_leaf" in _SURGERY
+_SIMPLE_COND = "simple_cond" in _SURGERY
+_NO_UV = "no_uv" in _SURGERY
+_NO_TSTACK = "no_tstack" in _SURGERY
+_NO_ORDER = "no_order" in _SURGERY
+# Deleted measured losers (kept ONLY as ROADMAP records, not knobs):
+# branchless step (r5: 1206 ns/step vs 804 cond baseline — the kernel is
+# throughput-bound, not cond-bound), cond-stride loop chaining (r4:
+# 127.9 ms, noise), resolve-off (r4: VOID — corrupts path control flow),
+# split-shadow traversal (r3: slower), per-segment lean attrs (r4: 144 ms
+# vs 137 all-lean).
 
 
 def _rec_fetch(ref, i, stride, interpret):
@@ -685,7 +686,7 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
             tstack_ref[w1] = p1[0]
         # overflow telemetry: count valid candidates a full stack dropped
         # (a dropped far child = silently missing geometry for this tile;
-        # the envelope bench asserts this stays 0 — RTRT_COUNT_DROPS=1)
+        # the envelope bench asserts this stays 0 — RTRT_COUNT=drops)
         drops = drops \
             + (((p3[0] < jnp.inf) & mT & (c3 == 0)).astype(jnp.int32)
                + ((p2[0] < jnp.inf) & mT & (c2 == 0)).astype(jnp.int32)
@@ -724,17 +725,9 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
         top = stack_ref[jnp.maximum(sp - 1, 0)]
         topt = jnp.float32(-jnp.inf) if _NO_TSTACK \
             else tstack_ref[jnp.maximum(sp - 1, 0)]
-        if _COND_STRIDE > 1:
-            # empty-pop guard: steps past the true exit become skip-steps
-            # (cur -1, curt +inf fails every prune bound)
-            has = need & (sp > 0)
-            cur = jnp.where(has, top, cur)
-            curt = jnp.where(need, jnp.where(has, topt, jnp.inf), curt)
-            sp = jnp.where(has, sp - 1, sp)
-        else:
-            cur = jnp.where(need, top, cur)
-            curt = jnp.where(need, topt, curt)
-            sp = jnp.where(need, sp - 1, sp)
+        cur = jnp.where(need, top, cur)
+        curt = jnp.where(need, topt, curt)
+        sp = jnp.where(need, sp - 1, sp)
 
         def visit_leaf(args):
             # deferred leaf pop: test its triangles, then pop again
@@ -793,7 +786,7 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
             # UNCONDITIONAL store: invalid/overflow pushes land in the
             # trash slot at index STACK — a predicated read-modify-write
             # here measured ~350 ns/step (SMEM RMW + select; r4 bisect
-            # RTRT_NO_TSTACK), a plain store is near-free
+            # RTRT_SURGERY=no_tstack), a plain store is near-free
             ok_push = near_ok & far_ok & (sp < STACK)
             c = ok_push.astype(jnp.int32)
             w = jnp.where(ok_push, sp, STACK)
@@ -827,22 +820,20 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
             nxt = jnp.where(done, jnp.int32(-1), nxt)
         return (sp,) + hs + (steps + 1, leafv, drops, bound, curt, nxt)
 
-    if _COND_STRIDE > 1:
-        def stride_step(s):
-            for _ in range(_COND_STRIDE):
-                s = step(s)
-            return s
-        out = jax.lax.while_loop(cond, stride_step, init)
-    else:
-        out = jax.lax.while_loop(cond, step, init)
+    # (A fully branchless step — both bodies every iteration under scalar
+    # masks, no lax.cond — was implemented and measured r5: 1206 ns/step
+    # vs 804 for this cond form on the v5e.  The kernel is throughput-
+    # bound, not cond-bound; the cond step stays.)
+    out = jax.lax.while_loop(cond, step, init)
     hs = out[1:1 + nh]
     best_t, tri, uo, vo = hs[0:4]
     # telemetry plane: loop steps; accepted-leaf-visit events under
-    # RTRT_COUNT_LEAF=1; dropped far-child pushes (stack overflow — must
-    # be 0 for a correct image) under RTRT_COUNT_DROPS=1
-    if _os.environ.get("RTRT_COUNT_LEAF") == "1":
+    # RTRT_COUNT=leaf; dropped far-child pushes (stack overflow — must
+    # be 0 for a correct image) under RTRT_COUNT=drops
+    _count = _os.environ.get("RTRT_COUNT", "")
+    if _count == "leaf":
         steps = out[-5]
-    elif _os.environ.get("RTRT_COUNT_DROPS") == "1":
+    elif _count == "drops":
         steps = out[-4]
     else:
         steps = out[-6]
@@ -925,13 +916,6 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
         def mx_of(pend):
             return jnp.max(jnp.where(pend == imax, -1, pend))
 
-        if _os.environ.get("RTRT_RESOLVE_OFF") == "1":
-            # timing-only A/B: skip the resolve loop entirely (attributes
-            # come back zero — the image is wrong, the frame time isolates
-            # the find-loop + shading cost).  Never set in production.
-            return (jnp.where(tri >= 0, best_t, jnp.inf), tri, uo, vo, zi,
-                    zf(), zf(), zf(), zf(), zf(), zf(), steps)
-
         st = (pend0, zi, zf(), zf(), zf(), zf(), zf(), zf())
         r0 = st + (jnp.min(pend0), mx_of(pend0), jnp.int32(0))
 
@@ -949,7 +933,7 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
 
         rout = jax.lax.while_loop(rcond, rstep, r0)
         mat, nsx, nsy, nsz, ngx, ngy, ngz = rout[1:8]
-        if _os.environ.get("RTRT_COUNT_RESOLVE") == "1":
+        if _os.environ.get("RTRT_COUNT") == "resolve":
             # telemetry: distinct-winner resolve iterations (dual-ended —
             # ~2 winners each) instead of traversal steps
             steps = rout[-1]

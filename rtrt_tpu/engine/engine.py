@@ -101,8 +101,8 @@ def packet_fit_mode(num_batches: int, sah_leaf8: bool = True) -> str:
 def packet_tables_fit(num_batches: int) -> bool:
     """Back-compat predicate: True when the packet path can run at all
     (fully-staged tables OR the attr-in-HBM mode)."""
-    sah8 = (os.environ.get("RTRT_SAH", "1") != "0"
-            and os.environ.get("RTRT_LEAF8", "1") != "0")
+    sah8 = (os.environ.get("RTRT_SAH", "4") != "0"
+            and os.environ.get("RTRT_LEAF_WIDTH", "8") != "1")
     return packet_fit_mode(num_batches, sah_leaf8=sah8) != "none"
 
 
@@ -180,8 +180,7 @@ class Engine:
         refit_ok = (
             self.animation == "wave"
             and os.environ.get("RTRT_REFIT", "1") != "0"
-            and os.environ.get("RTRT_SAH", "1") != "0"
-            and os.environ.get("RTRT_BVH4", "1") != "0"
+            and os.environ.get("RTRT_SAH", "4") == "4"
             and os.environ.get("RTRT_MEGAKERNEL", "1") != "0"
             and _tpu_available() and packet_tables_fit(self.scene.num_batches))
         if refit_ok:
@@ -189,9 +188,7 @@ class Engine:
             # refit boxes per frame inside the jitted program (bvh/refit.py)
             from ..bvh.refit import plan_refit4
             from ..bvh.sah import build_scene_tables_sah, bvh4_nodes
-            self._sah_leaf = (
-                int(os.environ.get("RTRT_LEAF_WIDTH", "8"))
-                if os.environ.get("RTRT_LEAF8", "1") != "0" else 1)
+            self._sah_leaf = int(os.environ.get("RTRT_LEAF_WIDTH", "8"))
             bvh, nrm_t, mat_s = build_scene_tables_sah(
                 self.scene.num_batches, self.indices, self.tri_mat,
                 self.valid, self.state.vertices, self.state.normals,
@@ -202,22 +199,20 @@ class Engine:
             self.prebuilt = (bvh, nrm_t, mat_s)
         elif self.animation == "none" and \
                 os.environ.get("RTRT_PREBUILD", "1") != "0":
-            if os.environ.get("RTRT_SAH", "1") != "0":
+            if os.environ.get("RTRT_SAH", "4") != "0":
                 # static scenes get the high-quality binned-SAH flat tree
                 # (host/native build, init-time only — bvh/sah.py): ~1.5-2x
                 # fewer node visits/ray than the per-frame morton LBVH
                 from ..bvh.sah import build_scene_tables_sah, bvh4_nodes
                 # row-aligned 8-tri leaves: one packet-kernel row fetch
                 # tests a whole leaf, and the tree shrinks ~6x
-                self._sah_leaf = (
-                    int(os.environ.get("RTRT_LEAF_WIDTH", "8"))
-                    if os.environ.get("RTRT_LEAF8", "1") != "0" else 1)
+                self._sah_leaf = int(os.environ.get("RTRT_LEAF_WIDTH", "8"))
                 bvh, nrm_t, mat_s = build_scene_tables_sah(
                     self.scene.num_batches, self.indices, self.tri_mat,
                     self.valid, self.state.vertices, self.state.normals,
                     leaf_max=self._sah_leaf)
                 nodes4 = None
-                if os.environ.get("RTRT_BVH4", "1") != "0":
+                if os.environ.get("RTRT_SAH", "4") == "4":
                     # 4-wide collapse: one record fetch serves two binary
                     # levels — halves packet-traversal steps.  Row-padded
                     # (roll-free fetch) when nodes+tris still fit the
@@ -257,7 +252,7 @@ class Engine:
         padded nodes + packed tris still fit the VMEM staging budget —
         otherwise the dense rolled layout keeps the big-scene envelope on
         the packet path (r3 parity: 1M tris via attr_hbm)."""
-        if os.environ.get("RTRT_NODE_PAD", "1") == "0":
+        if "dense_nodes" in os.environ.get("RTRT_SURGERY", ""):
             return False
         from ..bvh.packet import packed_rows
         nodes_b = (-(-q // 8) * 8) * 128 * 4
@@ -295,7 +290,7 @@ class Engine:
         # padded attr table (row-per-record, x8): roll-free resolve fetch
         attr_pad_b = int(bvh.tris_t.shape[1]) * 128 * 4
         if nodes_b + tris_b + attr_pad_b <= budget \
-                and os.environ.get("RTRT_ATTR_PAD", "1") != "0":
+                and "dense_attrs" not in os.environ.get("RTRT_SURGERY", ""):
             return "full_pad"
         if nodes_b + tris_b + attr_b <= budget:
             return "full"
@@ -305,8 +300,8 @@ class Engine:
 
     def _static_for(self, bucket_h: int) -> FrameStatic:
         w, h = _res_for_height(bucket_h)
-        sah8 = (os.environ.get("RTRT_SAH", "1") != "0"
-                and os.environ.get("RTRT_LEAF8", "1") != "0")
+        sah8 = (os.environ.get("RTRT_SAH", "4") != "0"
+                and os.environ.get("RTRT_LEAF_WIDTH", "8") != "1")
         # prebuilt tables exist -> decide from their actual packed sizes;
         # otherwise the analytic estimate (exact for the in-frame LBVH,
         # which is what runs when there is no prebuilt)
@@ -333,11 +328,6 @@ class Engine:
                 f"to override.")
         b = self.scene.num_batches
         flags = self.flags
-        if os.environ.get("RTRT_PROCTEX") == "0":
-            # attribution A/B (tools/measure_battery.sh): drop the in-kernel
-            # procedural soil shading to isolate its share of the trace stage
-            import dataclasses as _dc
-            flags = _dc.replace(flags, procedural_textures=False)
         return FrameStatic(
             render_w=w, render_h=h,
             screen_w=self.settings.render_width,

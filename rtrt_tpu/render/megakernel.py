@@ -412,62 +412,24 @@ def _mega_kernel(sun_ref, frame_ref,
                     V3(rd(dx_ref), rd(dy_ref), rd(dz_ref)), rd(cone_ref))
 
     import os as _os
-    # Attribute strategy (r4 A/Bs, terrain 1080p, all with segment skips):
-    # all-lean 137.2 ms, all-non-lean ~144, per-segment (non-lean seg0,
-    # lean bounces) ALSO ~144 — the primary segment's ~9.3k resolve
-    # iterations are NOT the 2 us/iter the r2 model assumed; carrying the
-    # 7 attr planes through the full-tile primary find loop costs more
-    # than its resolve saves.  Default all-lean; RTRT_LEAN_ATTRS=0 forces
-    # all-non-lean and =seg forces per-segment, both kept for A/B timing.
-    _lean_env = _os.environ.get("RTRT_LEAN_ATTRS", "1")
-    if attr_hbm:
-        _lean_env = "1"  # attrs exist only in the resolve loop
+    # Attribute strategy is ALL-LEAN, unconditionally (r4 A/Bs, terrain
+    # 1080p, all with segment skips): all-lean 137.2 ms, all-non-lean
+    # ~144, per-segment (non-lean seg0, lean bounces) ALSO ~144 —
+    # carrying the 7 attr planes through the find loop costs more than
+    # its resolve saves at every segment.  (A split shadow/scatter
+    # dual-traversal experiment also measured slower and was removed;
+    # ROADMAP keeps both records.)
+    _lean = True
 
-    def _lean_for(seg):
-        if _lean_env == "seg":
-            return seg >= 1
-        return _lean_env != "0"
-
-    _lean = _lean_env != "0"   # bounce-path default (subtile/split paths)
-    _split = _os.environ.get("RTRT_SPLIT_SHADOW") == "1"  # timing experiment
-
-    def traverse_full(org, dir, t_cap, fh, lean=None):
+    def traverse_full(org, dir, t_cap, fh):
         return traverse_tile(
             nodes_f_ref, tris_ref, attr_f_ref,
             stack_ref, tstack_ref, org.x, org.y, org.z,
             dir.x, dir.y, dir.z, t_cap,
             tlas_internal=tlas_internal, any_hit=False, max_steps=max_steps,
-            first_hit=fh, lean=_lean if lean is None else lean,
+            first_hit=fh, lean=_lean,
             arity=arity, leaf_width=leaf_width,
             interpret=interpret, **attr_kw)
-
-    def traverse_split(org, dir, t_cap, fh):
-        """Two class-separated traversals per bounce segment: shadow lanes
-        (coherent sun/light directions) and scatter lanes (hemisphere
-        spread) — the MIXED tile union covers both classes' node sets,
-        so splitting can shrink union steps at the cost of a second loop."""
-        cap_sh = jnp.where(fh, t_cap, 0.0)
-        cap_sc = jnp.where(fh, 0.0, t_cap)
-        h_sh = traverse_tile(
-            nodes_f_ref, tris_ref, attr_f_ref,
-            stack_ref, tstack_ref, org.x, org.y, org.z,
-            dir.x, dir.y, dir.z, cap_sh,
-            tlas_internal=tlas_internal, any_hit=True, max_steps=max_steps,
-            first_hit=fh, lean=True, arity=arity, leaf_width=leaf_width,
-            interpret=interpret, **attr_kw)
-        h_sc = traverse_tile(
-            nodes_f_ref, tris_ref, attr_f_ref,
-            stack_ref, tstack_ref, org.x, org.y, org.z,
-            dir.x, dir.y, dir.z, cap_sc,
-            tlas_internal=tlas_internal, any_hit=False, max_steps=max_steps,
-            first_hit=None, lean=_lean, arity=arity, leaf_width=leaf_width,
-            interpret=interpret, **attr_kw)
-        # merge: shadow lanes only consume (t, tri) — occlusion flag
-        merged = [jnp.where(fh, h_sh[0], h_sc[0]),
-                  jnp.where(fh, h_sh[1], h_sc[1])]
-        merged += list(h_sc[2:11])
-        merged.append(h_sh[11] + h_sc[11])  # steps
-        return tuple(merged)
 
     def traverse_subtiled(org, dir, t_cap, fh):
         """Bounce-segment traversal in SUBTILE_ROWS-high strips.
@@ -564,11 +526,8 @@ def _mega_kernel(sun_ref, frame_ref,
         fh = st.is_shadow & ~st.done
         if subtile_rows and seg >= 1:
             hit = traverse_subtiled(st.org, st.dir, t_cap, fh)
-        elif _split and seg >= 1:
-            hit = traverse_split(st.org, st.dir, t_cap, fh)
         else:
-            hit = traverse_full(st.org, st.dir, t_cap, fh,
-                                lean=_lean_for(seg))
+            hit = traverse_full(st.org, st.dir, t_cap, fh)
         stp = hit[-1]
         hit = hit[:-1]
 

@@ -13,6 +13,31 @@ Counterpart of the reference's three config tiers (SURVEY.md §5.6):
       `param_registry` of (path, label, widget, min, max, log) tuples.
 
 Uses stdlib tomllib; no third-party TOML dependency.
+
+A fourth tier — RTRT_* environment knobs — exists for operators and
+perf/debug tooling.  The COMPLETE registry (pruned round 5; measured-loser
+levers were deleted, probe-surgery flags consolidated):
+
+  RTRT_TILE_SHAPE        packet tile "HxW" (default 32x128; tune_tile.py)
+  RTRT_SEGMENTS          bounce-program depth (default 5 scene intersects)
+  RTRT_VMEM_TABLE_BUDGET_MB  VMEM staging budget gate (default 96) —
+                         drives full / full_pad / attr_hbm / wavefront
+  RTRT_DEBUG             =1: live NaN guards + safe gathers in the frame
+  RTRT_HISTORY_FILTER    history resampling: catmull_rom (default) |
+                         bilinear (denoise/reproject.py)
+  RTRT_ALLOW_WAVEFRONT   =1: allow the XLA wavefront path on TPU beyond
+                         demo scale (normally fenced — engine.py)
+  RTRT_BOUNCE_SUBTILE    bounce-segment strip rows (default 32; 0 = off)
+  RTRT_MEGAKERNEL        =0: disable the Pallas megakernel (debug)
+  RTRT_PRECOMPILE        =0: disable background bucket precompiles
+  RTRT_PREBUILD          =0: force the per-frame in-jit LBVH rebuild
+  RTRT_LEAF_WIDTH        row-aligned SAH leaf width (default 8; 1 = off)
+  RTRT_SAH               tree build: 4 = SAH+BVH4 (default), 2 = binary
+                         SAH, 0 = two-level morton LBVH
+  RTRT_REFIT             =0: disable the animated-scene refit path
+  RTRT_COUNT             telemetry plane: leaf | drops | resolve
+  RTRT_SURGERY           comma list of timing-only kernel surgery modes
+                         (images WRONG; see bvh/packet.py registry)
 """
 
 from __future__ import annotations

@@ -125,6 +125,7 @@ def test_tile_noise_level_flags_noise(rng):
         (H // 16, W // 16)
 
 
+@pytest.mark.slow
 def test_spatial_filter_smooths_but_keeps_edges(rng):
     p = default_params().denoise._replace(noise_threshold=jnp.float32(1e-6))
     color, normal, depth, mat, motion = _gbuf(rng)
@@ -141,6 +142,7 @@ def test_spatial_filter_smooths_but_keeps_edges(rng):
                                c[:, :W // 2 - 8].mean(), atol=0.02)
 
 
+@pytest.mark.slow
 def test_full_denoise_pipeline_runs(rng):
     p = default_params().denoise
     flags = FeatureFlags()
@@ -218,6 +220,7 @@ def test_sharpen_median(img):
     assert med.std() <= np.asarray(img).std()
 
 
+@pytest.mark.slow
 def test_wide_pass_pallas_matches_xla():
     """The windowed-DMA Pallas wide pass (interpret mode) must match the
     XLA shift-stencil twin bit-for-bit in structure (same tap math)."""
@@ -246,6 +249,7 @@ def test_wide_pass_pallas_matches_xla():
                                    rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_post_tail_pallas_matches_xla():
     """Fused tonemap+sharpen+dither+quantize Pallas tail (post/tail.py)
     matches the XLA ops it replaces within 1 u8 step, for all 4 tone
@@ -282,6 +286,7 @@ def test_post_tail_pallas_matches_xla():
             assert d.max() <= 1, (tone, do_sharpen, do_dither, d.max())
 
 
+@pytest.mark.slow
 def test_spatial_7x7_pallas_matches_xla():
     """The windowed Pallas form of SpatialFilter7x7 (radius 3, stride 1,
     frame-alternating half kernel) matches the XLA tap-accumulation twin

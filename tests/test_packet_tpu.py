@@ -139,8 +139,9 @@ def test_packet_interpret_matches_wavefront(rng):
     np.testing.assert_allclose(pt[m], wt[m], rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_packet_interpret_moller_trumbore(rng, monkeypatch):
-    """The Möller-Trumbore leaf test (RTRT_TRI_TEST=mt: precomputed-edge
+    """The Möller-Trumbore leaf test (the default leaf test: precomputed-edge
     rows, division-free accept) must agree with the watertight default on
     hit distances and barycentrics.  TRI_TEST is monkeypatched (pack layout
     and kernel read the module global at call/trace time)."""
@@ -191,6 +192,7 @@ def test_packet_interpret_moller_trumbore(rng, monkeypatch):
     np.testing.assert_allclose(vv, np.asarray(wf.v)[m][same_tri], atol=2e-3)
 
 
+@pytest.mark.slow
 def test_packet_interpret_attr_hbm_matches_staged(rng):
     """attr_hbm mode (attribute table left in HBM; resolve loop DMAs single
     records on demand) returns bit-identical hits/attributes to the fully

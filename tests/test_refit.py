@@ -102,6 +102,7 @@ def _node_boxes_valid(nodes4, leaf_lo, leaf_hi, leaf_width):
     node_bounds(0)
 
 
+@pytest.mark.slow
 def test_refit_displaced_traces_match_brute(rng):
     bvh, raw4, plan, _ = _build(rng)
     t_now = jnp.float32(1.7)

@@ -124,6 +124,7 @@ def test_glass_energy_split(rng):
     assert 0.01 < frac_refl < 0.3  # near-normal incidence: mostly transmits
 
 
+@pytest.mark.slow
 def test_ggx_eval_pdf_consistency(rng):
     """Monte-Carlo: sampling with the GGX sampler and dividing by its pdf
     integrates D*G*F*cos to ~the same value as uniform-hemisphere MC."""
@@ -318,6 +319,7 @@ def test_wave_displacement():
     assert np.abs(np.asarray(v1)[:, 1]).max() <= 0.36
 
 
+@pytest.mark.slow
 def test_env_fit_matches_analytic():
     """The Chebyshev environment fit (production escape-path eval) must
     track the analytic raymarch oracle to sub-percent mean relative error
@@ -343,6 +345,7 @@ def test_env_fit_matches_analytic():
     assert fit_sky.min() > -1e-3  # clamped non-negative
 
 
+@pytest.mark.slow
 def test_env_radiance_scene_ocean_and_stars(sky_maps):
     """Composed environment (render/environment.py — the active twin of the
     reference's dormant sky2 -> star -> water chain, sky2.cuh:75):
@@ -392,6 +395,7 @@ def test_env_radiance_scene_ocean_and_stars(sky_maps):
         "stars below the horizon"
 
 
+@pytest.mark.slow
 def test_frame_with_ocean_and_stars_flags():
     """Full frame program with the ocean+stars flags on (CPU wavefront
     path): compiles, runs, stays finite — the engine-level wiring of

@@ -112,6 +112,7 @@ def test_accumulation_survives_multi_pixel_pan(rng):
     assert (interior > 7.5).mean() > 0.95
 
 
+@pytest.mark.slow
 def test_denoise_pipeline_gather_mode_runs(rng):
     """The CPU-path denoise chain with gather reprojection stays finite."""
     from rtrt_tpu.denoise.pipeline import denoise

@@ -179,6 +179,7 @@ def test_sah_tables_match_engine_contract(rng):
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_sah4_packet_kernel_interpret(rng):
     """Arity-4 packet traversal over the collapsed SAH tree matches the
     wavefront traverser on the binary tree (same leaves, same geometry)."""
@@ -238,6 +239,7 @@ def test_sah4_packet_kernel_interpret(rng):
 
 @pytest.mark.parametrize("lw", [8, pytest.param(16, marks=pytest.mark.slow),
                                 pytest.param(32, marks=pytest.mark.slow)])
+@pytest.mark.slow
 def test_sah_wide_leaves_all_traversals(rng, lw):
     """Row-aligned multi-tri leaves (leaf_max=8/16/32): wavefront, packet
     and packet-arity4 traversals all match brute force over the original

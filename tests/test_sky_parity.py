@@ -72,6 +72,7 @@ def test_preetham_chromaticity_signature():
     assert yy[1] > yy[0]
 
 
+@pytest.mark.slow
 def test_physical_sky_gamma_profile_matches_perez():
     """Circumsolar gradation: at 30-degree view elevation the luminance
     falloff with sun angle must track the Perez standard."""
@@ -87,6 +88,7 @@ def test_physical_sky_gamma_profile_matches_perez():
     assert np.corrcoef(ours, ref)[0, 1] > 0.97
 
 
+@pytest.mark.slow
 def test_physical_sky_hemisphere_correlates_with_perez():
     params = make_sky_params(sun_elevation=0.35)
     sun = np.asarray(params.sun_dir)

@@ -69,11 +69,13 @@ def run(dtype, steps, reps=30):
         out_shape=jax.ShapeDtypeStruct(SHAPE, jnp.float32))(a))
     r = fn(x)
     r.block_until_ready()
+    from rtrt_tpu.utils.timing import fetch_rtt, force_ready
+    rtt = fetch_rtt(r)
     t0 = time.perf_counter()
     for _ in range(reps):
         r = fn(x)
-    r.block_until_ready()
-    return (time.perf_counter() - t0) / reps / steps * 1e9
+    force_ready(r)
+    return (time.perf_counter() - t0 - rtt) / reps / steps * 1e9
 
 
 def main():

@@ -92,11 +92,13 @@ def run(mode, steps, reps=10):
         out_shape=jax.ShapeDtypeStruct(SHAPE, jnp.float32))(a, b, c))
     r = fn(tab, ttab, pend)
     r.block_until_ready()
+    from rtrt_tpu.utils.timing import fetch_rtt, force_ready
+    rtt = fetch_rtt(r)
     t0 = time.perf_counter()
     for _ in range(reps):
         r = fn(tab, ttab, pend)
-    r.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
+    force_ready(r)
+    dt = (time.perf_counter() - t0 - rtt) / reps
     return dt / steps * 1e9
 
 

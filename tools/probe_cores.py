@@ -266,12 +266,14 @@ def run(mode, rows, steps=400, reps=10, grid_tiles=1, big_tables=False):
 
     r = fn(ntab, ttab, *planes)
     r.block_until_ready()
+    from rtrt_tpu.utils.timing import fetch_rtt, force_ready
+    rtt = fetch_rtt(r)
     t0 = time.perf_counter()
     for _ in range(reps):
         r = fn(ntab, ttab, *planes)
-    r.block_until_ready()
+    force_ready(r)
     total_steps = steps * grid_tiles
-    return (time.perf_counter() - t0) / reps / total_steps * 1e9
+    return (time.perf_counter() - t0 - rtt) / reps / total_steps * 1e9
 
 
 def main():

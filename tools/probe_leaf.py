@@ -184,11 +184,13 @@ def run(mode, rows, steps=400, reps=10):
         scratch_shapes=[pltpu.SMEM((128,), jnp.int32)])(t, *p))
     r = fn(tab, *planes)
     r.block_until_ready()
+    from rtrt_tpu.utils.timing import fetch_rtt, force_ready
+    rtt = fetch_rtt(r)
     t0 = time.perf_counter()
     for _ in range(reps):
         r = fn(tab, *planes)
-    r.block_until_ready()
-    return (time.perf_counter() - t0) / reps / steps * 1e9
+    force_ready(r)
+    return (time.perf_counter() - t0 - rtt) / reps / steps * 1e9
 
 
 def main():

@@ -92,11 +92,13 @@ def time_consume(mode, steps=400, reps=10, nvals=9, nrec=8):
     x = jnp.full(SHAPE, 0.5)
     r = fn(tab, x)
     r.block_until_ready()
+    from rtrt_tpu.utils.timing import fetch_rtt, force_ready
+    rtt = fetch_rtt(r)
     t0 = time.perf_counter()
     for _ in range(reps):
         r = fn(tab, x)
-    r.block_until_ready()
-    return (time.perf_counter() - t0) / reps / steps * 1e9
+    force_ready(r)
+    return (time.perf_counter() - t0 - rtt) / reps / steps * 1e9
 
 
 def main():

@@ -53,11 +53,27 @@ def main():
     eng_ref = Engine(settings,
                      flags=FeatureFlags(denoise=False))
     acc = None
+    acc_a = None  # first-half accumulation (ceiling decomposition)
     for i in range(args.spp):
         img = eng_ref.render_frame_device(dt=1 / 60)
         lin = (img.astype(jnp.float32) / 255.0) ** 2.2
         acc = lin if acc is None else acc + lin
+        if i + 1 == args.spp // 2:
+            acc_a = acc
     ref = np.asarray((acc / args.spp) ** (1 / 2.2))
+
+    # ---- ceiling decomposition (VERDICT r4 item 4): the SSIM between two
+    # INDEPENDENT (spp/2)-sample converged renders of the same pose bounds
+    # the residual-noise term of the reference itself — no denoiser can
+    # score above ~this against a single (spp/2..spp)-sample reference.
+    # The two halves use disjoint frame-jitter/sample sequences.
+    half_a = np.asarray((acc_a / (args.spp // 2)) ** (1 / 2.2))
+    half_b = np.asarray(((acc - acc_a) / (args.spp - args.spp // 2))
+                        ** (1 / 2.2))
+    s_halves = ssim(half_a.astype(np.float64), half_b.astype(np.float64),
+                    data_range=1.0)
+    print(f"ceiling: SSIM({args.spp // 2}-spp A, {args.spp // 2}-spp B) "
+          f"independent converged pair = {s_halves:.4f}", flush=True)
 
     # ---- denoised 1-spp stream (the product pipeline) ----
     eng = Engine(settings)

@@ -18,7 +18,7 @@ ANIMATION=wave BENCH_SCENE=terrain python bench.py \
     >"$OUT/animated.json" 2>"$OUT/animated.err"
 
 # 3. stack-drop telemetry at the 1M-tri envelope (must be all-zero)
-RTRT_COUNT_DROPS=1 python tools/profile_frame.py --scene terrain_huge \
+RTRT_COUNT=drops python tools/profile_frame.py --scene terrain_huge \
     --trace-steps >"$OUT/drops_huge.txt" 2>"$OUT/drops_huge.err"
 
 # 4. wavefront fallback: one recorded number (VERDICT r3 item 7)

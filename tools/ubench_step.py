@@ -156,11 +156,13 @@ def main():
             out_shape=jax.ShapeDtypeStruct(shape, jnp.float32))(t, o))
         r = fn(tab, ox)
         r.block_until_ready()
+        from rtrt_tpu.utils.timing import fetch_rtt, force_ready
+        rtt = fetch_rtt(r)
         t0 = time.perf_counter()
         for _ in range(args.reps):
             r = fn(tab, ox)
-        r.block_until_ready()
-        dt = (time.perf_counter() - t0) / args.reps
+        force_ready(r)
+        dt = (time.perf_counter() - t0 - rtt) / args.reps
         ns = dt / args.steps * 1e9
         d = "" if base is None else f"  (+{ns - base:6.1f} vs loop)"
         if mode == "loop":
