@@ -236,6 +236,11 @@ def pack_nodes4(nodes4, pad=True) -> jnp.ndarray:
 _SURGERY = frozenset(
     m for m in _os.environ.get("RTRT_SURGERY", "").split(",") if m)
 _STATIC_FETCH = "static_fetch" in _SURGERY
+# xpose: consume record lanes via the MXU pre-broadcast (_bcast) instead
+# of scalar extracts — measured r5: 955-1219 ns/step vs 804 for extracts
+# (the 6-pass HIGHEST-precision outer product costs more than 72 extracts;
+# the scalar unit evidently runs ahead fine).  A/B surgery, image correct.
+_XPOSE = "xpose" in _SURGERY
 _NO_PRUNE = "no_prune" in _SURGERY
 _NO_LEAF = "no_leaf" in _SURGERY
 _SIMPLE_COND = "simple_cond" in _SURGERY
@@ -272,8 +277,30 @@ def _rec_fetch(ref, i, stride, interpret):
     return pltpu.roll(row, shift, 1)
 
 
+def _bcast(row):
+    """(1,128) fetched row -> (128,128) X with X[k, :] = row[0, k]: a
+    degenerate MXU outer product contracting the two size-1 dims.  Record
+    value k then reads as the STATIC sublane slice X[k:k+1, :] — a
+    (1,128) uniform vector that sublane-broadcasts against (S,128) ray
+    tiles with ZERO vector->scalar extracts (each `row[0, k]` extract
+    syncs the scalar and vector units; a leaf visit makes 72 of them).
+    Mosaic cannot lane-broadcast (1,1) slices ("Broadcast in both
+    sublanes and lanes: Not implemented"), but the MXU can: one
+    dot_general turns the row into all 128 pre-broadcast values at once.
+    HIGHEST precision keeps the pass-through exact in f32 (default TPU
+    precision would round the geometry to bf16)."""
+    return jax.lax.dot_general(
+        row, jnp.ones((1, 128), row.dtype), (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
 def _lv(row, k):
-    """Lane k of a fetched (1,128) record (scalar; broadcasts in jnp ops)."""
+    """Value k of a fetched record: static sublane slice when given a
+    `_bcast` matrix (vector domain, (1,128)); scalar extract when given
+    the raw (1,128) row."""
+    if row.shape[0] > 1:
+        return row[k:k + 1, :]
     return row[0, k]
 
 
@@ -538,7 +565,13 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
             rpl = leaf_width // 8
             brow = jnp.clip(base // 8, 0, tris_rows - rpl)
             blk = tris_ref[pl.ds(0 if _STATIC_FETCH else brow, rpl), :]
-            recs = [(base + k, blk[(k // 8):(k // 8) + 1, :], 16 * (k % 8))
+            if _XPOSE:
+                # one MXU pre-broadcast per row: the 8 records' 72 values
+                # become static sublane slices (zero scalar extracts)
+                xrows = [_bcast(blk[i:i + 1, :]) for i in range(rpl)]
+            else:
+                xrows = [blk[i:i + 1, :] for i in range(rpl)]
+            recs = [(base + k, xrows[k // 8], 16 * (k % 8))
                     for k in range(leaf_width)]
         else:
             recs = [(base + k,
@@ -626,6 +659,13 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
             nf = nodes_f_ref[pl.ds(0 if _STATIC_FETCH else row, 1), :]
         else:
             nf = _rec_fetch(nodes_f_ref, row, 32, interpret)
+        if _XPOSE:
+            # MXU pre-broadcast: the 24 box floats feed the slab tests as
+            # (1,128) uniform vectors; the 4 child entries still extract
+            # as scalars from the raw row (they drive control flow)
+            nf_raw, nf = nf, _bcast(nf)
+        else:
+            nf_raw = nf
         es, rows_ = [], []
         for c in range(4):
             h_c, t_c = slab(_lv(nf, 6 * c), _lv(nf, 6 * c + 1),
@@ -635,7 +675,7 @@ def traverse_tile(nodes_f_ref, tris_ref, attr_f_ref,
             # row (pure vector work)
             rows_.append(jnp.min(jnp.where(h_c, t_c, jnp.inf), axis=0,
                                  keepdims=True))
-            es.append(_ls(nf, 24 + c).astype(jnp.int32))
+            es.append(_ls(nf_raw, 24 + c).astype(jnp.int32))
         # merge the four lane-reduction trees into ONE: stack the four
         # (1,128) rows and lane-reduce once to (4,1), then 4 cheap scalar
         # extracts — replaces 4 full (S,128)->scalar reductions whose lane

@@ -78,10 +78,22 @@ def build_terrain_scene(settings: GlobalSettings) -> HostScene:
         # marchingCubes.cpp:216-537) via the procedural rounded-block
         # field — see content/marching.py::roundcube_field
         from ..content.marching import roundcube_field
-        density = roundcube_field(world.solid)
+        # rounding=0: corner-average only — flat voxel plateaus joined by
+        # one-voxel 45-degree bevels, the closest procedural match to the
+        # reference's template bevel radius (a full 3^3 smooth rounds
+        # gentle terrain's one-voxel terraces away entirely).  FLAT
+        # per-face normals: the template-mesh identity is faceted
+        # plateaus — smooth vertex normals would shade the bevels back
+        # into dunes.
+        density = roundcube_field(world.solid, rounding=0)
         v0, v1, v2 = march_tetrahedra(density, origin=origin)
-        vertices, indices = weld_vertices(v0, v1, v2)
-        normals = smooth_normals(vertices, indices)
+        vertices = np.concatenate([v0, v1, v2], axis=0).astype(np.float32)
+        t = v0.shape[0]
+        indices = np.stack([np.arange(t), np.arange(t) + t,
+                            np.arange(t) + 2 * t], axis=-1).astype(np.int32)
+        fn = np.cross(v1 - v0, v2 - v0)
+        fn /= np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-12)
+        normals = np.concatenate([fn, fn, fn], axis=0).astype(np.float32)
     elif native.available():
         v0, v1, v2 = native.march_tetrahedra(world.density, origin)
         vertices, indices = native.weld(v0, v1, v2)
