@@ -141,3 +141,40 @@ def test_sharded_megakernel_matches_single(cpu_mesh_devices):
     got = path_trace_mega(scene, rays, pixel_ids, frame, basis, 2.0,
                           interpret=True, mesh=mesh)
     _gbuffers_close(ref, got, frac=0.995)
+
+
+def test_sharded_refit_matches_replicated(cpu_mesh_devices):
+    """The sharded-leaf-bounds refit (parallel/frame_spmd.py::sharded_refit)
+    must produce the identical node table as the single-device refit —
+    min/max reductions reassociate exactly."""
+    from rtrt_tpu.bvh.refit import leaf_bounds, plan_refit4, refit_nodes4
+    from rtrt_tpu.bvh.sah import build_scene_tables_sah, bvh4_nodes
+    from rtrt_tpu.engine.scene import build_demo_scene, padded_arrays
+    from rtrt_tpu.parallel.frame_spmd import make_row_mesh, sharded_refit
+
+    scene = build_demo_scene()
+    pad = padded_arrays(scene)
+    bvh, nrm_t, mat_s = build_scene_tables_sah(
+        scene.num_batches, jnp.asarray(pad["indices"]),
+        jnp.asarray(pad["tri_mat"]), jnp.asarray(pad["valid"]),
+        jnp.asarray(scene.vertices), jnp.asarray(scene.normals),
+        leaf_max=8)
+    raw4 = bvh4_nodes(bvh)
+    plan = plan_refit4(raw4, leaf_width=8)
+    n_leaves = plan.n_leaves if hasattr(plan, "n_leaves") else \
+        int(bvh.tris_t.shape[1]) // 8
+    # pad leaves to the mesh size
+    mesh = make_row_mesh(8, devices=cpu_mesh_devices)
+    n_pad = -(-n_leaves // 8) * 8
+    tt = jnp.pad(bvh.tris_t, ((0, 0), (0, (n_pad - n_leaves) * 8)),
+                 mode="edge")
+
+    lo, hi = leaf_bounds(tt, n_pad, 8)
+    want = refit_nodes4(plan, lo[:n_leaves], hi[:n_leaves])
+
+    with mesh:
+        got = jax.jit(lambda t: sharded_refit(
+            mesh, plan, t, n_pad, 8)[:, :])(tt)
+    # plan indexes only real leaves, so padded bounds never contribute
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0,
+                               atol=0)
