@@ -83,12 +83,16 @@ def main():
         # chain to execute; D2H is 3 bytes, not the 6 MB frame
         return float(jnp.asarray(arr[:1, :1, 0], jnp.float32)[0, 0])
 
+    def _timed(f):
+        t0 = time.perf_counter()
+        f()
+        return time.perf_counter() - t0
+
     fn = eng._frame_fns[eng._cur_bucket]
     warm = eng.render_frame_device(dt=1 / 60)
     fetch_scalar(warm)                      # compile the fetch slice
-    t0 = time.perf_counter()
-    fetch_scalar(warm)                      # warm array: pure RTT
-    rtt = time.perf_counter() - t0
+    rtt = min(                              # min-of-3: tunnel RTT spikes
+        _timed(lambda: fetch_scalar(warm)) for _ in range(3))
 
     t0 = time.perf_counter()
     img = None
