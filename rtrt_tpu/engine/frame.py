@@ -115,6 +115,13 @@ class FrameStatic(NamedTuple):
     #   work on direction-incoherent bounce rays; 0 = whole-tile unions
     pallas_interpret: bool = False  # run Pallas kernels in interpret mode
     #   (CPU validation of kernel paths, e.g. the sharded megakernel test)
+    pallas_aux: bool = True   # Pallas denoise/post auxiliary kernels
+    #   (tile-shift reprojection, windowed wide filters).  False routes
+    #   those stages through their parity-tested XLA twins while keeping
+    #   the native megakernel — used where the frame must compile under
+    #   the DEFAULT 16 MiB scoped-VMEM limit (a bare jax.jit without the
+    #   engine's raised xla_tpu_scoped_vmem_limit_kib, e.g. the driver's
+    #   __graft_entry__ compile check)
     node_pad: bool = True     # 4-wide node table row-per-record (x4 VMEM,
     #   roll-free fetch); False = dense rolled layout for scenes where the
     #   padded table would blow the staging budget (~1M-tri envelope)
@@ -382,7 +389,8 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
     # pallas_interpret validates the MEGAKERNEL path off-TPU; the denoise/
     # post Pallas variants have XLA-equivalent twins (parity-tested), so
     # interpret runs route those stages through the XLA paths
-    use_pallas_aux = static.use_packets and not static.pallas_interpret
+    use_pallas_aux = (static.use_packets and not static.pallas_interpret
+                      and static.pallas_aux)
     if static.flags.denoise:
         parity = (frame_idx & 1).astype(jnp.int32)
         # arbitrary-motion history: Pallas tile-shift on TPU, gather on CPU
