@@ -127,7 +127,9 @@ def main():
     print(json.dumps({
         "metric": (f"ms_per_frame_{eng.render_w}x{eng.render_h}_1spp_"
                    f"denoised_{SCENE}_{eng.scene.num_tris}tris"
-                   + ("_animated" if ANIMATION != "none" else "")),
+                   + ("_animated" if ANIMATION != "none" else "")
+                   + ("_interlaced"
+                      if os.environ.get("RTRT_INTERLACE") == "1" else "")),
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(target_ms / ms, 4),

@@ -349,7 +349,15 @@ class Engine:
             node_pad=getattr(self, "_node_pad", True),
             sah_leaf=getattr(self, "_sah_leaf", 1),
             ftex=getattr(self, "_ftex", None),
-            animation=self.animation)
+            animation=self.animation,
+            # interlaced sparse rendering: trace half the pixel rows per
+            # frame (alternating parity), reconstruct full-res before the
+            # denoiser — ~1.7x frame-rate at product resolution (measured
+            # r5, ROADMAP).  Settings field or RTRT_INTERLACE=1/0 override.
+            interlace=(os.environ.get(
+                "RTRT_INTERLACE",
+                "1" if getattr(self.settings, "interlace", False) else "0")
+                == "1" and h % 2 == 0))
 
     def _set_bucket(self, bucket_h: int):
         if bucket_h == self._cur_bucket:

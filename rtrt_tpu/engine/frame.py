@@ -98,6 +98,20 @@ def wave_normal_rows(nrm_t, tris_t, time, amp=0.35, freq=0.5, speed=1.5):
     return jnp.stack(out)
 
 
+def interleave_rows(a, b):
+    """Row-interleave two (h2, w, ...) arrays into (2*h2, w, ...):
+    out[0::2] = a, out[1::2] = b.
+
+    Lowered as two interior-padded `lax.pad` ops + add — a form XLA keeps
+    in the image's native layout (a (h/2, 2, w) stack/reshape would
+    propagate hostile tiling through the denoise chain, ROADMAP fact #6).
+    Works for float and integer planes (pad value 0, disjoint rows)."""
+    zero = jnp.zeros((), a.dtype)
+    ca = [(0, 1, 1)] + [(0, 0, 0)] * (a.ndim - 1)
+    cb = [(1, 0, 1)] + [(0, 0, 0)] * (a.ndim - 1)
+    return jax.lax.pad(a, zero, ca) + jax.lax.pad(b, zero, cb)
+
+
 class FrameStatic(NamedTuple):
     """Static (hashable) frame configuration — part of the jit key."""
 
@@ -140,6 +154,17 @@ class FrameStatic(NamedTuple):
     #   kernel as an immediate; a texture refit recompiles the frame, like
     #   the reference's init-time texture load (src/init.cu:524-580)
     animation: str = "none"   # none | wave — in-jit vertex displacement
+    interlace: bool = False   # interlaced sparse rendering (megakernel
+    #   only): each frame traces HALF the pixel rows (y = 2i + frame
+    #   parity), the reconstruction interleaves traced rows with
+    #   vertical-neighbor fills, and the temporal accumulator — which
+    #   already integrates jittered 1-spp samples across frames — sees
+    #   every row at full rate over any 2-frame window.  The TPU-native
+    #   form of the reference's resolution/perf trade (its dynamic
+    #   resolution, src/kernel.cu:78-114): trace cost ~halves while the
+    #   OUTPUT grid (G-buffer, history, denoise, post) stays full-res,
+    #   so static detail converges to the full-rate image instead of
+    #   being upscaled away
     stop_after: str = "full"  # full | bvh | trace | denoise — profiling
     #   harness cut points: the frame program ends after the named stage so
     #   stage cost = t(stage_k) - t(stage_{k-1}).  The reference gets this
@@ -290,14 +315,25 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
     import numpy as _np
     from ..bvh.packet import TILE, TILE_SHAPE
     n_pix = w * h
+    interlace = static.interlace and static.use_megakernel and h % 2 == 0
+    parity = (frame_idx & jnp.uint32(1)).astype(jnp.int32)
     if static.use_megakernel:
         # IMAGE-NATIVE route: rays, blue-noise offsets and G-buffer all stay
         # (hp, wp) images; the megakernel's 2D grid + BlockSpecs handle the
         # (64,128)-pixel-block tiling — zero host-side permutes/relayouts
         th, tw = TILE_SHAPE
-        hp = -(-h // th) * th
+        ht = h // 2 if interlace else h   # traced pixel rows this frame
+        hp = -(-ht // th) * th
         wp = -(-w // tw) * tw
-        yy = jnp.minimum(jnp.arange(hp, dtype=jnp.int32), h - 1)
+        if interlace:
+            # interlaced: row i of the traced grid is image row 2i+parity.
+            # pixel_ids is kernel DATA (seeds + uv derive from it), so the
+            # traced parity costs nothing — one compiled program serves
+            # both fields
+            yy = jnp.minimum(
+                jnp.arange(hp, dtype=jnp.int32) * 2 + parity, h - 1)
+        else:
+            yy = jnp.minimum(jnp.arange(hp, dtype=jnp.int32), h - 1)
         xx = jnp.minimum(jnp.arange(wp, dtype=jnp.int32), w - 1)
         pixel_ids = yy[:, None] * w + xx[None, :]       # (hp, wp)
     else:
@@ -310,7 +346,17 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
     if static.flags.blue_noise:
         from ..render.sampling import blue_offsets_flat, rand2_bn
         rows = blue_offsets_flat(w, h, n_pix).reshape(h, w, 2)
-        if static.use_megakernel:
+        if static.use_megakernel and interlace:
+            # each field gets ITS rows' blue-noise offsets (static slices
+            # of the numpy mask; the traced parity just selects)
+            pe = jnp.asarray(_np.pad(
+                rows[0::2], ((0, hp - ht), (0, wp - w), (0, 0)),
+                mode="edge"))
+            po = jnp.asarray(_np.pad(
+                rows[1::2], ((0, hp - ht), (0, wp - w), (0, 0)),
+                mode="edge"))
+            bn = jnp.where(parity == 1, po, pe)
+        elif static.use_megakernel:
             bn = jnp.asarray(_np.pad(
                 rows, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge"))
         else:
@@ -352,7 +398,7 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
                 attr_hbm=static.attr_hbm, attr_pad=static.attr_pad,
                 node_pad=static.node_pad,
                 interpret=static.pallas_interpret, debug_steps=True)
-            return (steps[:, :h, :w],), state
+            return (steps[:, :ht, :w],), state
         gbuf: GBuffer = path_trace_mega(
             scene, rays, pixel_ids, frame_idx, prev_basis, w / h,
             use_proctex=static.flags.procedural_textures, bn=bn,
@@ -361,7 +407,7 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
             node_pad=static.node_pad, ftex=static.ftex,
             interpret=static.pallas_interpret, env_fn=env_fn,
             mesh=trace_mesh)
-        crop = lambda x: x[:h, :w]
+        crop = lambda x: x[:ht, :w]
     else:
         gbuf: GBuffer = path_trace(
             scene, rays, pixel_ids, frame_idx, prev_basis,
@@ -376,12 +422,34 @@ def render_frame(static: FrameStatic, indices, tri_mat, valid, materials,
     # no-ops (and identical programs) when the flag is off
     from ..utils.debug import nan_guard
     shard = row_sharding if row_sharding is not None else (lambda x: x)
-    color = shard(nan_guard(crop(gbuf.color), "trace.radiance"))
-    albedo = shard(nan_guard(crop(gbuf.albedo), "trace.albedo"))
-    normal = shard(nan_guard(crop(gbuf.normal), "trace.normal"))
-    depth = shard(crop(gbuf.depth))
-    mat_id = shard(crop(gbuf.mat_id))
-    motion = shard(nan_guard(crop(gbuf.motion), "trace.motion"))
+    if interlace:
+        # full-res reconstruction: traced rows land at y = 2i+parity,
+        # missing rows fill from vertical neighbors — LINEAR for radiance
+        # planes (halves comb artifacts pre-denoise), NEAREST for geometry
+        # planes (averaging depth/ids across silhouettes invents surfaces
+        # that would poison the temporal validity test).  The temporal
+        # filter then overwrites filled rows with reprojected history
+        # wherever it is valid; a static camera sees every row every 2
+        # frames, so accumulation converges to the full-rate image.
+        def _lin(c):
+            nxt = jnp.concatenate([c[1:], c[-1:]], axis=0)
+            prv = jnp.concatenate([c[:1], c[:-1]], axis=0)
+            even = interleave_rows(c, (c + nxt) * 0.5)
+            odd = interleave_rows((prv + c) * 0.5, c)
+            return jnp.where(parity == 1, odd, even)
+
+        def _nn(c):
+            # replicate: rows 2i and 2i+1 both read traced row i — the
+            # result is parity-independent, so no select is needed
+            return interleave_rows(c, c)
+    else:
+        _lin = _nn = lambda c: c
+    color = shard(nan_guard(_lin(crop(gbuf.color)), "trace.radiance"))
+    albedo = shard(nan_guard(_lin(crop(gbuf.albedo)), "trace.albedo"))
+    normal = shard(nan_guard(_nn(crop(gbuf.normal)), "trace.normal"))
+    depth = shard(_nn(crop(gbuf.depth)))
+    mat_id = shard(_nn(crop(gbuf.mat_id)))
+    motion = shard(nan_guard(_nn(crop(gbuf.motion)), "trace.motion"))
     if static.stop_after == "trace":
         return (color, albedo, normal, depth, mat_id, motion), state
 

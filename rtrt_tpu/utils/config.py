@@ -37,6 +37,8 @@ levers were deleted, probe-surgery flags consolidated):
   RTRT_REFIT             =0: disable the animated-scene refit path
   RTRT_COUNT             telemetry plane: leaf | drops | resolve
   RTRT_SURGERY           comma list of timing-only kernel surgery modes
+  RTRT_INTERLACE         =1/0: interlaced sparse rendering override
+                         (GlobalSettings.interlace is the API)
                          (images WRONG; see bvh/packet.py registry)
 """
 
@@ -81,6 +83,10 @@ class GlobalSettings:
     #   faces + rounded bevels, content/marching.py::roundcube_field)
     sky_model: str = "physical"      # physical (Rayleigh-Mie) | preetham
     #   (fitted analytic daylight — the reference's active-sky family)
+    interlace: bool = False          # interlaced sparse rendering: trace
+    #   half the pixel rows per frame (alternating parity), reconstruct
+    #   full-res before the denoiser (engine/frame.py) — the TPU-native
+    #   perf/latency trade next to dynamic_resolution
     frame_cap_fps: float = 75.0      # reference: 75-fps busy-wait floor
     dynamic_resolution: DynamicResolution = dataclasses.field(
         default_factory=DynamicResolution)
@@ -107,6 +113,7 @@ def load_config(path: str | None) -> GlobalSettings:
         terrain_seed=t.get("terrain_seed", 7),
         terrain_style=t.get("terrain_style", "smooth"),
         sky_model=t.get("sky_model", "physical"),
+        interlace=t.get("interlace", False),
         frame_cap_fps=t.get("frame_cap_fps", 75.0),
         dynamic_resolution=DynamicResolution(
             enabled=dr.get("enabled", True),

@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--spp", type=int, default=64)
     ap.add_argument("--frames", type=int, default=48)
     ap.add_argument("--scene", default="terrain")
+    ap.add_argument("--interlace", action="store_true",
+                    help="stream engine renders interlaced (half the pixel "
+                         "rows per frame); the converged reference stays "
+                         "full-rate — measures the interlace quality cost")
     args = ap.parse_args()
 
     import jax
@@ -76,7 +80,8 @@ def main():
           f"independent converged pair = {s_halves:.4f}", flush=True)
 
     # ---- denoised 1-spp stream (the product pipeline) ----
-    eng = Engine(settings)
+    import dataclasses
+    eng = Engine(dataclasses.replace(settings, interlace=args.interlace))
     img = None
     traj = []
     for i in range(args.frames):
@@ -92,9 +97,10 @@ def main():
     print(f"\n{args.width}x{args.height} {args.scene}: denoised stream "
           f"SSIM = {final:.4f} after {args.frames} frames "
           f"(bar: >= 0.98 static)")
+    tag = "_interlaced" if args.interlace else ""
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                        "resources", f"golden_{args.scene}_"
-                       f"{args.width}x{args.height}.png")
+                       f"{args.width}x{args.height}{tag}.png")
     try:
         from rtrt_tpu.utils.image import write_png
         write_png(os.path.abspath(out), np.asarray(img))
